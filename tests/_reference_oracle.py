@@ -1,0 +1,46 @@
+"""Load selected *importable* reference modules as behavioral oracles.
+
+The upstream reference at /root/reference is read-only study material; a few
+of its leaf modules are pure numpy/torch and import cleanly, so tests can use
+them as ground truth for numerical parity without copying any code.
+Everything else (librosa/lmdb-dependent modules) is exercised via golden
+fixtures or independent re-derivations instead.
+"""
+
+import importlib.util
+import pathlib
+import sys
+
+REFERENCE_ROOT = pathlib.Path("/root/reference")
+
+
+def load(relpath: str, name: str):
+    path = REFERENCE_ROOT / relpath
+    if not path.exists():
+        return None
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    try:
+        spec.loader.exec_module(mod)
+    except Exception:
+        sys.modules.pop(name, None)
+        return None
+    return mod
+
+
+def reference_graph():
+    return load("net/utils/graph.py", "_ref_graph")
+
+
+def reference_quaternions():
+    return load("utils/Quaternions_torch.py", "_ref_quat")
+
+
+def reference_tgcn():
+    # net/utils/tgcn.py imports only torch
+    return load("net/utils/tgcn.py", "_ref_tgcn")
+
+
+def reference_tcn():
+    return load("net/tcn.py", "_ref_tcn")
