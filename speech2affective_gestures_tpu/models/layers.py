@@ -1,0 +1,423 @@
+"""Neural building blocks with PyTorch-matching semantics, TPU-first layout.
+
+These are the primitives under every model in the framework. They keep
+*numerical* parity with the torch layers the reference uses (so converted
+`.pth.tar` checkpoints reproduce bit-comparable outputs) while using
+TPU-native layouts and execution:
+
+- activations/convs run in channel-LAST layout (NWC / NHWC), the layout XLA
+  tiles best on TPU;
+- the GRU hoists all input projections into one big (B*T, C) @ (C, 3H)
+  matmul (MXU) and scans only the small recurrent update;
+- BatchNorm reproduces torch running-stat semantics (momentum 0.1 into the
+  *running* average, unbiased variance in the update, biased in the
+  normalization);
+- initializers mirror torch defaults (kaiming-uniform a=sqrt(5) for
+  linear/conv, U(-1/sqrt(H), 1/sqrt(H)) for GRU).
+
+Checkpoint mapping from torch layouts is in `convert/torch_ckpt.py`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+# --------------------------------------------------------------------------
+# activations & initializers
+# --------------------------------------------------------------------------
+
+def leaky_relu(x: jax.Array, slope: float) -> jax.Array:
+    """LeakyReLU with an explicit slope.
+
+    NOTE the reference frequently writes `nn.LeakyReLU(True)`, which passes
+    True as *negative_slope* (== 1.0, i.e. identity) — not inplace. We
+    replicate each call site's effective slope exactly; slope == 1.0 is a
+    no-op kept for documentation.
+    """
+    if slope == 1.0:
+        return x
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def torch_uniform(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    # shape (in, out); torch kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))
+    return torch_uniform(1.0 / math.sqrt(shape[0]))(key, shape, dtype)
+
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    # shape (*window, in, out): fan_in = in * prod(window)
+    fan_in = int(np.prod(shape[:-1]))
+    return torch_uniform(1.0 / math.sqrt(fan_in))(key, shape, dtype)
+
+
+# --------------------------------------------------------------------------
+# dense / embedding
+# --------------------------------------------------------------------------
+
+class Linear(nn.Module):
+    """Dense layer with torch-default init. kernel: (in, out)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_linear_kernel_init, (in_features, self.features)
+        )
+        y = jnp.matmul(x, kernel)
+        if self.use_bias:
+            bias = self.param(
+                "bias", torch_uniform(1.0 / math.sqrt(in_features)), (self.features,)
+            )
+            y = y + bias
+        return y
+
+
+class Embed(nn.Module):
+    """Embedding table; optionally initialized from pretrained vectors and
+    frozen via `jax.lax.stop_gradient` (reference: fastText table,
+    net/multimodal_context_net_v2.py:67-73)."""
+
+    num_embeddings: int
+    features: int
+    pretrained: np.ndarray | None = None
+    freeze: bool = False
+
+    @nn.compact
+    def __call__(self, ids):
+        if self.pretrained is not None:
+            table_init = lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                self.pretrained, dtype
+            )
+        else:
+            table_init = nn.initializers.normal(stddev=1.0)
+        table = self.param(
+            "embedding", table_init, (self.num_embeddings, self.features)
+        )
+        if self.freeze:
+            table = jax.lax.stop_gradient(table)
+        return jnp.take(table, ids, axis=0)
+
+
+# --------------------------------------------------------------------------
+# batch norm (torch semantics)
+# --------------------------------------------------------------------------
+
+class BatchNorm(nn.Module):
+    """BatchNorm over the last axis with torch running-stat semantics.
+
+    - normalization: biased batch variance, eps inside the sqrt;
+    - running update: new = (1 - momentum) * old + momentum * batch, with
+      *unbiased* batch variance (torch's exact behavior);
+    - `use_running_average=True` = torch eval mode.
+    """
+
+    features: int
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,))
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,))
+        )
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            reduce_axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axis=reduce_axes)
+            var = jnp.mean(jnp.square(x), axis=reduce_axes) - jnp.square(mean)
+            n = x.size // x.shape[-1]
+            unbiased = var * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                ra_mean.value = (
+                    (1.0 - self.momentum) * ra_mean.value + self.momentum * mean
+                )
+                ra_var.value = (
+                    (1.0 - self.momentum) * ra_var.value + self.momentum * unbiased
+                )
+        inv = jax.lax.rsqrt(var + self.eps)
+        return (x - mean) * inv * scale + bias
+
+
+# --------------------------------------------------------------------------
+# convolutions (channel-last)
+# --------------------------------------------------------------------------
+
+def _pair(v) -> tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+class Conv1d(nn.Module):
+    """1-D convolution on (B, T, C). kernel: (K, Cin, Cout); symmetric
+    integer padding like torch."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_conv_kernel_init, (self.kernel_size, cin, self.features)
+        )
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        if self.use_bias:
+            bound = 1.0 / math.sqrt(cin * self.kernel_size)
+            y = y + self.param("bias", torch_uniform(bound), (self.features,))
+        return y
+
+
+class WNConv1d(nn.Module):
+    """Weight-normalized Conv1d (torch weight_norm over dim=0: one g per
+    output channel; ref net/tcn.py:19-26)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        # reference re-initializes TCN conv weights to N(0, 0.01)
+        v = self.param(
+            "v",
+            nn.initializers.normal(stddev=0.01),
+            (self.kernel_size, cin, self.features),
+        )
+        g = self.param(
+            "g",
+            lambda key, shape: jnp.linalg.norm(
+                v.reshape(-1, self.features), axis=0
+            ).reshape(shape),
+            (self.features,),
+        )
+        norm = jnp.linalg.norm(v.reshape(-1, self.features), axis=0)
+        kernel = v * (g / jnp.maximum(norm, 1e-12))
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        bound = 1.0 / math.sqrt(cin * self.kernel_size)
+        return y + self.param("bias", torch_uniform(bound), (self.features,))
+
+
+class ConvTranspose1d(nn.Module):
+    """Transposed 1-D conv matching torch ConvTranspose1d.
+
+    kernel stored in forward-conv orientation (K, Cin, Cout); the op is a
+    fractionally-strided conv: dilate input by `stride`, pad (K-1-padding),
+    convolve with the spatially-flipped kernel.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_conv_kernel_init, (self.kernel_size, cin, self.features)
+        )
+        pad = self.kernel_size - 1 - self.padding
+        y = jax.lax.conv_general_dilated(
+            x,
+            jnp.flip(kernel, axis=0),
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            lhs_dilation=(self.stride,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        if self.use_bias:
+            # torch fan_in for ConvTranspose bias init: Cout * K (weight
+            # shape (Cin, Cout, K) -> fan_in = Cout*K); keep torch behavior.
+            bound = 1.0 / math.sqrt(self.features * self.kernel_size)
+            y = y + self.param("bias", torch_uniform(bound), (self.features,))
+        return y
+
+
+class Conv2d(nn.Module):
+    """2-D convolution on (B, H, W, C); torch-style symmetric padding."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    stride: tuple[int, int] = (1, 1)
+    padding: tuple[int, int] = (0, 0)
+    dilation: tuple[int, int] = (1, 1)
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kh, kw = _pair(self.kernel_size)
+        kernel = self.param(
+            "kernel", torch_conv_kernel_init, (kh, kw, cin, self.features)
+        )
+        ph, pw = _pair(self.padding)
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=_pair(self.stride),
+            padding=[(ph, ph), (pw, pw)],
+            rhs_dilation=_pair(self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bound = 1.0 / math.sqrt(cin * kh * kw)
+            y = y + self.param("bias", torch_uniform(bound), (self.features,))
+        return y
+
+
+class ConvTranspose2d(nn.Module):
+    """Transposed 2-D conv matching torch ConvTranspose2d (NHWC)."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    stride: tuple[int, int] = (1, 1)
+    padding: tuple[int, int] = (0, 0)
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kh, kw = _pair(self.kernel_size)
+        kernel = self.param(
+            "kernel", torch_conv_kernel_init, (kh, kw, cin, self.features)
+        )
+        ph, pw = _pair(self.padding)
+        sh, sw = _pair(self.stride)
+        y = jax.lax.conv_general_dilated(
+            x,
+            jnp.flip(kernel, axis=(0, 1)),
+            window_strides=(1, 1),
+            padding=[(kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)],
+            lhs_dilation=(sh, sw),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bound = 1.0 / math.sqrt(self.features * kh * kw)
+            y = y + self.param("bias", torch_uniform(bound), (self.features,))
+        return y
+
+
+# --------------------------------------------------------------------------
+# GRU (torch cell math, scan-based)
+# --------------------------------------------------------------------------
+
+class GRU(nn.Module):
+    """Multi-layer (optionally bidirectional) GRU, torch cell semantics.
+
+    gates ordered (r, z, n); n-gate uses r * (W_hn h + b_hn). Input
+    projections for the whole sequence are hoisted out of the scan into one
+    MXU matmul per layer/direction; only the (B, H) x (H, 3H) recurrent
+    update runs inside `lax.scan`.
+
+    Dropout (torch GRU semantics): applied to each layer's output except the
+    last, only in training.
+    """
+
+    hidden_size: int
+    num_layers: int = 1
+    bidirectional: bool = False
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        num_dir = 2 if self.bidirectional else 1
+
+        def direction_pass(inputs, layer, direction):
+            tag = f"l{layer}" + ("_rev" if direction else "")
+            cin = inputs.shape[-1]
+            bound = 1.0 / math.sqrt(self.hidden_size)
+            w_ih = self.param(f"w_ih_{tag}", torch_uniform(bound), (cin, 3 * self.hidden_size))
+            w_hh = self.param(
+                f"w_hh_{tag}", torch_uniform(bound), (self.hidden_size, 3 * self.hidden_size)
+            )
+            b_ih = self.param(f"b_ih_{tag}", torch_uniform(bound), (3 * self.hidden_size,))
+            b_hh = self.param(f"b_hh_{tag}", torch_uniform(bound), (3 * self.hidden_size,))
+
+            xp = jnp.matmul(inputs, w_ih) + b_ih  # (B, T, 3H) — one big matmul
+            xp = jnp.swapaxes(xp, 0, 1)  # time-major for scan
+            if direction:
+                xp = jnp.flip(xp, axis=0)
+
+            h0 = jnp.zeros((inputs.shape[0], self.hidden_size), inputs.dtype)
+            hsz = self.hidden_size
+
+            def cell(h, xp_t):
+                hp = jnp.matmul(h, w_hh) + b_hh
+                r = jax.nn.sigmoid(xp_t[:, :hsz] + hp[:, :hsz])
+                z = jax.nn.sigmoid(xp_t[:, hsz : 2 * hsz] + hp[:, hsz : 2 * hsz])
+                n = jnp.tanh(xp_t[:, 2 * hsz :] + r * hp[:, 2 * hsz :])
+                h_new = (1.0 - z) * n + z * h
+                return h_new, h_new
+
+            h_last, ys = jax.lax.scan(cell, h0, xp)
+            if direction:
+                ys = jnp.flip(ys, axis=0)
+            return jnp.swapaxes(ys, 0, 1), h_last  # (B, T, H), (B, H)
+
+        out = x
+        finals = []
+        for layer in range(self.num_layers):
+            outs = []
+            for direction in range(num_dir):
+                y, h_last = direction_pass(out, layer, direction)
+                outs.append(y)
+                finals.append(h_last)
+            out = jnp.concatenate(outs, axis=-1) if num_dir == 2 else outs[0]
+            if self.dropout > 0.0 and layer < self.num_layers - 1:
+                out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
+        return out, jnp.stack(finals, axis=0)
+
+
+class Dropout(nn.Dropout):
+    pass
+
+
+def sum_bidirectional(out: jax.Array, hidden_size: int) -> jax.Array:
+    """Sum forward/backward halves of a bi-GRU output, the reference's
+    recurring idiom (e.g. net/multimodal_context_net_v2.py:542)."""
+    return out[..., :hidden_size] + out[..., hidden_size:]
