@@ -1,0 +1,80 @@
+"""Device-mesh construction and data-parallel sharding.
+
+The reference's only parallelism is single-process `nn.DataParallel` with
+`batch_size *= n_gpus` (processor_v2.py:167-172).  The TPU-native equivalent
+is one `jax.sharding.Mesh` with a `data` axis: the batch is sharded across
+the axis, parameters/optimizer state are replicated, and XLA inserts the
+gradient all-reduce (psum) over ICI inside the jitted train step — the same
+semantics, deterministic, and scaling to multi-host DCN unchanged.
+
+Models here are small (~1-10M params), so replicated params + sharded batch
+is the right layout; `shard_params` exists for experiments with larger
+variants.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
+    """1-D mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict[str, Any], mesh: Mesh, axis_name: str = "data"):
+    """Place a host batch onto the mesh, sharded along the batch dimension.
+    Batch size must be divisible by the mesh size."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate_state(state, mesh: Mesh):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
+
+
+def data_parallel_step(step_fn, mesh: Mesh, axis_name: str = "data",
+                       donate_state: bool = True):
+    """Wrap a jitted step(state, batch, rng, **static) for mesh execution.
+
+    With NamedSharding-annotated inputs, jit partitions automatically: the
+    batch stays sharded, state stays replicated, and cross-device gradient
+    reduction compiles to XLA all-reduce over ICI. `donate_state` lets XLA
+    reuse the old state's buffers for the new state (halves peak HBM).
+    """
+    rep = replicated(mesh)
+    shard = batch_sharding(mesh, axis_name)
+
+    def wrapped(state, batch, rng, **static):
+        state = jax.tree.map(
+            lambda x: x if _is_sharded(x, mesh) else jax.device_put(x, rep), state
+        )
+        batch = jax.tree.map(
+            lambda x: x if _is_sharded(x, mesh) else jax.device_put(x, shard), batch
+        )
+        return step_fn(state, batch, rng, **static)
+
+    return wrapped
+
+
+def _is_sharded(x, mesh: Mesh) -> bool:
+    try:
+        return getattr(x, "sharding", None) is not None and x.sharding.mesh == mesh
+    except Exception:
+        return False

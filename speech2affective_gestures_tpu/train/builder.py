@@ -1,0 +1,125 @@
+"""Model/state assembly helpers shared by the trainer, benchmarks and tests.
+
+Wires `ModelConfig` (the YAML namespace) to concrete flax modules and a
+`TrainState`, matching the reference's Processor construction
+(processor_v2.py:135-177): PoseGenerator + AffDiscriminator as the trainable
+pair, PoseGeneratorTriModal as the frozen comparator.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..config import ModelConfig
+from ..models.discriminator import AffDiscriminator, ConvDiscriminatorTriModal
+from ..models.generator import PoseGenerator, PoseGeneratorTriModal
+from .gan_step import GanConfig, TrainState, create_train_state, make_train_step
+
+
+def build_models(
+    cfg: ModelConfig,
+    n_words: int,
+    n_speakers: int,
+    word_embeddings: np.ndarray | None = None,
+    pose_dim: int = C.POSE_DIM,
+):
+    gen = PoseGenerator(
+        pose_dim=pose_dim,
+        n_words=n_words,
+        word_embed_size=cfg.wordembed_dim,
+        word_embeddings=word_embeddings,
+        freeze_embedding=cfg.freeze_wordembed,
+        mfcc_length=cfg.mfcc_length,
+        num_mfcc=cfg.num_mfcc_combined,
+        time_steps=cfg.n_poses,
+        hidden_size=cfg.hidden_size_s2eg,
+        n_layers=cfg.n_layers,
+        dropout_prob=cfg.dropout_prob,
+        input_context=cfg.input_context,
+        z_type=cfg.z_type,
+        n_speakers=n_speakers,
+    )
+    dis = AffDiscriminator(n_poses=cfg.n_poses)
+    tri = PoseGeneratorTriModal(
+        pose_dim=pose_dim,
+        n_words=n_words,
+        word_embed_size=cfg.wordembed_dim,
+        word_embeddings=word_embeddings,
+        freeze_embedding=cfg.freeze_wordembed,
+        hidden_size=cfg.hidden_size,
+        n_layers=cfg.n_layers,
+        dropout_prob=cfg.dropout_prob,
+        input_context=cfg.input_context,
+        z_type=cfg.z_type,
+        n_speakers=n_speakers,
+    )
+    return gen, dis, tri
+
+
+def synthetic_batch(rng: np.random.Generator, batch_size: int,
+                    cfg: ModelConfig, n_words: int = 1000,
+                    n_speakers: int = 100) -> dict:
+    """Fixed-shape batch with the exact geometry of the packed TED-db cache
+    (processor_v2.py:278-283) — for benchmarks, smoke tests and dry runs."""
+    t = cfg.n_poses
+    return {
+        "extended_word_seq": rng.integers(0, n_words, (batch_size, t)).astype(np.int32),
+        "vec_seq": (rng.standard_normal((batch_size, t, C.POSE_DIM)) * 0.1).astype(np.float32),
+        "audio": (rng.standard_normal((batch_size, cfg.expected_audio_length)) * 0.1).astype(np.float32),
+        "mfcc_features": rng.standard_normal(
+            (batch_size, cfg.num_mfcc_combined, cfg.mfcc_length)
+        ).astype(np.float32),
+        "vid_indices": rng.integers(0, n_speakers, (batch_size,)).astype(np.int32),
+    }
+
+
+def init_training(
+    cfg: ModelConfig,
+    rng: jax.Array,
+    n_words: int = 1000,
+    n_speakers: int = 100,
+    word_embeddings: np.ndarray | None = None,
+    with_trimodal: bool = True,
+):
+    """Build modules, init variables, create TrainState + step fns."""
+    gen, dis, tri = build_models(cfg, n_words, n_speakers, word_embeddings)
+    batch = synthetic_batch(np.random.default_rng(0), 2, cfg, n_words, n_speakers)
+    pre_seq = jnp.zeros((2, cfg.n_poses, C.POSE_DIM + 1), jnp.float32)
+
+    k1, k2, k3, kn = jax.random.split(rng, 4)
+    gen_vars = gen.init(
+        {"params": k1, "noise": kn},
+        pre_seq, jnp.asarray(batch["extended_word_seq"]),
+        jnp.asarray(batch["mfcc_features"]), jnp.asarray(batch["vid_indices"]),
+    )
+    dis_vars = dis.init(k2, jnp.asarray(batch["vec_seq"]))
+    tri_vars = None
+    if with_trimodal:
+        tri_vars = tri.init(
+            {"params": k3, "noise": kn},
+            pre_seq, jnp.asarray(batch["extended_word_seq"]),
+            jnp.asarray(batch["audio"]), jnp.asarray(batch["vid_indices"]),
+        )
+
+    gan_cfg = GanConfig(
+        loss_regression_weight=cfg.loss_regression_weight,
+        loss_gan_weight=cfg.loss_gan_weight,
+        loss_kld_weight=cfg.loss_kld_weight,
+        loss_reg_weight=cfg.loss_reg_weight,
+        loss_warmup=cfg.loss_warmup,
+        learning_rate=cfg.learning_rate,
+        discriminator_lr_weight=cfg.discriminator_lr_weight,
+        z_type=cfg.z_type,
+        n_pre_poses=cfg.n_pre_poses,
+    )
+    state = create_train_state(gen_vars, dis_vars, gan_cfg, tri_vars)
+    train_step, eval_step = make_train_step(
+        gen.apply, dis.apply, gan_cfg, tri.apply if with_trimodal else None
+    )
+    return dict(
+        gen=gen, dis=dis, tri=tri, state=state, gan_cfg=gan_cfg,
+        train_step=train_step, eval_step=eval_step,
+    )

@@ -1,0 +1,296 @@
+"""The jitted GAN training step (the hot loop).
+
+Functional re-design of reference `processor_v2.py:776-957`
+(`forward_pass_s2ag`): one compiled step performs the D update followed by
+the G update (Huber + KLD + diversity regularizer + ns-GAN), exactly
+mirroring the reference's stop-gradient placement (`.detach()` at
+processor_v2.py:809,913,918) and its BatchNorm running-stat update order
+(every train-mode forward updates stats, threaded sequentially).
+
+TPU-first properties:
+- the whole step is one XLA program: no Python between D and G updates, no
+  host sync until metrics are fetched;
+- both optimizers are optax.adam(betas=(0.5, 0.999)) states carried in a
+  single pytree TrainState (the reference re-creates CUDA grads each step);
+- under a `jax.sharding.Mesh` the same step runs data-parallel: batch
+  sharded on the 'data' axis, params replicated, gradients reduced by XLA
+  collectives — subsuming nn.DataParallel (processor_v2.py:167-172).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from .. import constants as C
+from . import losses
+
+
+@dataclasses.dataclass(frozen=True)
+class GanConfig:
+    """Loss/optimizer hyper-parameters (config/multimodal_context_v2.yml:28-36
+    + parse_args.py defaults)."""
+
+    loss_regression_weight: float = 500.0
+    loss_gan_weight: float = 5.0
+    loss_kld_weight: float = 0.1
+    loss_reg_weight: float = 0.05
+    loss_warmup: int = 0
+    learning_rate: float = 5e-4
+    discriminator_lr_weight: float = 0.2
+    z_type: str = "speaker"
+    n_pre_poses: int = C.N_PRE_POSES
+
+    @property
+    def lr_dis(self) -> float:
+        return self.learning_rate * self.discriminator_lr_weight
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    gen_params: Any
+    gen_stats: Any
+    gen_opt: Any
+    dis_params: Any
+    dis_stats: Any
+    dis_opt: Any
+    tri_params: Any = None   # frozen trimodal baseline (comparison only)
+    tri_stats: Any = None
+
+
+def build_pre_seq(target_poses: jax.Array, n_pre_poses: int) -> jax.Array:
+    """(B, T, D) targets -> (B, T, D+1) seed sequence: first n_pre_poses
+    frames + constraint bit (ref processor_v2.py:784-788)."""
+    b, t, d = target_poses.shape
+    mask = (jnp.arange(t) < n_pre_poses).astype(target_poses.dtype)[None, :, None]
+    poses = jnp.concatenate(
+        [target_poses, jnp.ones((b, t, 1), target_poses.dtype)], axis=-1
+    )
+    return poses * mask
+
+
+def create_train_state(
+    gen_variables, dis_variables, cfg: GanConfig, tri_variables=None
+) -> TrainState:
+    gopt = optax.adam(cfg.learning_rate, b1=0.5, b2=0.999)
+    dopt = optax.adam(cfg.lr_dis, b1=0.5, b2=0.999)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        gen_params=gen_variables["params"],
+        gen_stats=gen_variables.get("batch_stats", {}),
+        gen_opt=gopt.init(gen_variables["params"]),
+        dis_params=dis_variables["params"],
+        dis_stats=dis_variables.get("batch_stats", {}),
+        dis_opt=dopt.init(dis_variables["params"]),
+        tri_params=None if tri_variables is None else tri_variables["params"],
+        tri_stats=None if tri_variables is None else
+        tri_variables.get("batch_stats", {}),
+    )
+
+
+def make_train_step(
+    gen_apply: Callable,
+    dis_apply: Callable,
+    cfg: GanConfig,
+    tri_apply: Callable | None = None,
+) -> Callable:
+    """Returns train_step(state, batch, rng, gan_on) -> (state, metrics).
+
+    gen_apply(variables, pre_seq, in_text, in_mfcc, vids, train, rngs,
+    mutable) and dis_apply(variables, poses, in_text, train, mutable) are
+    flax apply fns; `gan_on` is a static bool implementing the warmup gate
+    `epoch > loss_warmup` (ref processor_v2.py:793,936).
+    """
+    gopt = optax.adam(cfg.learning_rate, b1=0.5, b2=0.999)
+    dopt = optax.adam(cfg.lr_dis, b1=0.5, b2=0.999)
+
+    def gen_fwd(params, stats, pre_seq, in_text, in_mfcc, vids, rng):
+        r_noise, r_drop = jax.random.split(rng)
+        (out, z, mu, logvar), mut = gen_apply(
+            {"params": params, "batch_stats": stats},
+            pre_seq, in_text, in_mfcc, vids,
+            train=True,
+            rngs={"noise": r_noise, "dropout": r_drop},
+            mutable=["batch_stats"],
+        )
+        return out, z, mu, logvar, mut["batch_stats"]
+
+    def dis_fwd(params, stats, poses, in_text, rng):
+        prob, mut = dis_apply(
+            {"params": params, "batch_stats": stats},
+            poses, in_text,
+            train=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+        )
+        return prob, mut["batch_stats"]
+
+    @partial(jax.jit, static_argnames=("gan_on",))
+    def train_step(state: TrainState, batch: dict, rng: jax.Array,
+                   gan_on: bool = True):
+        in_text = batch["extended_word_seq"]
+        target = batch["vec_seq"]
+        in_mfcc = batch["mfcc_features"]
+        in_audio = batch.get("audio")
+        vids = batch.get("vid_indices")
+        pre_seq = build_pre_seq(target, cfg.n_pre_poses)
+
+        rngs = jax.random.split(rng, 6)
+        gen_stats = state.gen_stats
+        dis_stats = state.dis_stats
+        metrics = {}
+
+        # ------------------------------------------------ D update
+        dis_params = state.dis_params
+        dis_opt = state.dis_opt
+        if gan_on and cfg.loss_gan_weight > 0.0:
+            fake, *_, gen_stats = gen_fwd(
+                state.gen_params, gen_stats, pre_seq, in_text, in_mfcc, vids,
+                rngs[0],
+            )
+            fake = jax.lax.stop_gradient(fake)
+
+            def d_loss_fn(dp, dstats):
+                d_real, dstats = dis_fwd(dp, dstats, target, in_text, rngs[1])
+                d_fake, dstats = dis_fwd(dp, dstats, fake, in_text, rngs[2])
+                return losses.dis_ns_gan(d_real, d_fake), dstats
+
+            (d_loss, dis_stats), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(dis_params, dis_stats)
+            d_updates, dis_opt = dopt.update(d_grads, dis_opt, dis_params)
+            dis_params = optax.apply_updates(dis_params, d_updates)
+            metrics["dis"] = d_loss
+
+        # ------------------------------------------------ G update
+        def g_loss_fn(gp, gstats, dstats):
+            out, z, mu, logvar, gstats = gen_fwd(
+                gp, gstats, pre_seq, in_text, in_mfcc, vids, rngs[3]
+            )
+            huber = losses.scaled_huber(out, target, beta=0.1)
+            loss = cfg.loss_regression_weight * huber
+            aux_metrics = {"loss": cfg.loss_regression_weight * huber}
+
+            if cfg.z_type in ("speaker", "random") and cfg.loss_reg_weight > 0.0:
+                if cfg.z_type == "speaker":
+                    perm = jax.random.permutation(rngs[4], vids.shape[0])
+                    rand_vids = vids[perm]
+                else:
+                    rand_vids = None
+                out_rand, z_rand, *_, gstats = gen_fwd(
+                    gp, gstats, pre_seq, in_text, in_mfcc, rand_vids, rngs[5]
+                )
+                div_reg = losses.diversity_regularizer(out, out_rand, z, z_rand)
+                loss = loss + cfg.loss_reg_weight * div_reg
+                aux_metrics["DIV_REG"] = cfg.loss_reg_weight * div_reg
+                if cfg.z_type == "speaker":
+                    kld = losses.kld_speaker(mu, logvar)
+                    loss = loss + cfg.loss_kld_weight * kld
+                    aux_metrics["KLD"] = cfg.loss_kld_weight * kld
+
+            if gan_on and cfg.loss_gan_weight > 0.0:
+                d_out, dstats_new = dis_fwd(dis_params, dstats, out, in_text, rngs[2])
+                gen_err = losses.gen_ns_gan(d_out)
+                loss = loss + cfg.loss_gan_weight * gen_err
+                aux_metrics["gen"] = cfg.loss_gan_weight * gen_err
+                dstats = dstats_new
+            return loss, (gstats, dstats, out, aux_metrics)
+
+        (g_loss, (gen_stats, dis_stats, out, aux_metrics)), g_grads = (
+            jax.value_and_grad(g_loss_fn, has_aux=True)(
+                state.gen_params, gen_stats, dis_stats
+            )
+        )
+        g_updates, gen_opt = gopt.update(g_grads, state.gen_opt, state.gen_params)
+        gen_params = optax.apply_updates(state.gen_params, g_updates)
+        metrics.update(aux_metrics)
+        metrics["g_total"] = g_loss
+
+        # -------------------------------------- trimodal comparison (frozen)
+        s2ag_l1 = losses.l1(out, target)
+        if tri_apply is not None and state.tri_params is not None:
+            (tri_out, *_), _ = tri_apply(
+                {"params": state.tri_params, "batch_stats": state.tri_stats},
+                pre_seq, in_text, in_audio, vids,
+                train=True,  # reference leaves the frozen net in train mode
+                rngs={"noise": rngs[0], "dropout": rngs[1]},
+                mutable=["batch_stats"],  # updates discarded
+            )
+            metrics["s2ag_vs_trimodal_l1"] = s2ag_l1 - losses.l1(tri_out, target)
+        metrics["s2ag_l1"] = s2ag_l1
+
+        new_state = state.replace(
+            step=state.step + 1,
+            gen_params=gen_params,
+            gen_stats=gen_stats,
+            gen_opt=gen_opt,
+            dis_params=dis_params,
+            dis_stats=dis_stats,
+            dis_opt=dis_opt,
+        )
+        return new_state, metrics
+
+    @partial(jax.jit, static_argnames=("gan_on",))
+    def eval_step(state: TrainState, batch: dict, rng: jax.Array,
+                  gan_on: bool = True):
+        """Validation pass: eval-mode forwards (running BN stats, no dropout,
+        no updates), same loss stack; ref per_val_epoch processor_v2.py:993-1030."""
+        in_text = batch["extended_word_seq"]
+        target = batch["vec_seq"]
+        in_mfcc = batch["mfcc_features"]
+        in_audio = batch.get("audio")
+        vids = batch.get("vid_indices")
+        pre_seq = build_pre_seq(target, cfg.n_pre_poses)
+        rngs = jax.random.split(rng, 4)
+
+        def gen_eval(vids_in, key):
+            return gen_apply(
+                {"params": state.gen_params, "batch_stats": state.gen_stats},
+                pre_seq, in_text, in_mfcc, vids_in,
+                train=False, rngs={"noise": key},
+            )
+
+        def dis_eval(poses):
+            return dis_apply(
+                {"params": state.dis_params, "batch_stats": state.dis_stats},
+                poses, in_text, train=False,
+            )
+
+        out, z, mu, logvar = gen_eval(vids, rngs[0])
+        metrics = {}
+        huber = losses.scaled_huber(out, target, beta=0.1)
+        metrics["loss"] = cfg.loss_regression_weight * huber
+        if cfg.z_type in ("speaker", "random") and cfg.loss_reg_weight > 0.0:
+            if cfg.z_type == "speaker":
+                perm = jax.random.permutation(rngs[1], vids.shape[0])
+                rand_vids = vids[perm]
+            else:
+                rand_vids = None
+            out_rand, z_rand, *_ = gen_eval(rand_vids, rngs[2])
+            metrics["DIV_REG"] = cfg.loss_reg_weight * losses.diversity_regularizer(
+                out, out_rand, z, z_rand
+            )
+            if cfg.z_type == "speaker":
+                metrics["KLD"] = cfg.loss_kld_weight * losses.kld_speaker(mu, logvar)
+        if gan_on and cfg.loss_gan_weight > 0.0:
+            metrics["dis"] = losses.dis_ns_gan(dis_eval(target), dis_eval(out))
+            metrics["gen"] = cfg.loss_gan_weight * losses.gen_ns_gan(dis_eval(out))
+
+        s2ag_l1 = losses.l1(out, target)
+        metrics["s2ag_l1"] = s2ag_l1
+        if tri_apply is not None and state.tri_params is not None:
+            tri_out, *_ = tri_apply(
+                {"params": state.tri_params, "batch_stats": state.tri_stats},
+                pre_seq, in_text, in_audio, vids,
+                train=False, rngs={"noise": rngs[3]},
+            )
+            metrics["s2ag_vs_trimodal_l1"] = s2ag_l1 - losses.l1(tri_out, target)
+        return out, metrics
+
+    return train_step, eval_step

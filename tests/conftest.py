@@ -6,7 +6,12 @@ conftest import time (pytest imports conftest before any test module).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the session env exports JAX_PLATFORMS=axon (the TPU tunnel) and the axon
+# sitecustomize imports jax at interpreter start, freezing that choice as
+# the config default — so the env var alone is not enough; jax.config.update
+# below is the authoritative override. XLA_FLAGS is still read lazily at CPU
+# backend init, so setting it here works.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +19,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
