@@ -1,0 +1,360 @@
+"""TED Gesture DB pipeline: packed datasets, sampling, lmdb ingestion.
+
+Capability parity with reference `loader_v2.py` (TedDBParams /
+load_ted_db_data / TedDBParamsMinimal) + `processor_v2.py`'s npz RAM cache
+(save_cache/load_cache :222-341) and batch samplers (yield_batch :589-638).
+
+TPU-first design: one preprocessing pass produces **packed fixed-shape
+arrays** (the exact schema of the reference's npz cache: int64 word ids,
+f32 dir-vec sequences, int16 audio + per-sample max, f16 MFCC, int64
+speaker ids).  Those arrays live on device; per-step batching is a jitted
+gather by host-sampled indices — no per-sample Python, no H2D copies of
+sample payloads in the hot loop.
+
+lmdb+pyarrow ingestion of the original TED caches is supported when those
+packages are present; everything else (including a synthetic corpus
+generator for tests/benchmarks) is dependency-free.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import pickle
+from typing import Iterator
+
+import numpy as np
+
+from .. import constants as C
+from ..config import ModelConfig
+from ..ops import dsp_ref
+from . import preprocessor as prep
+from .vocab import Vocab, build_vocab, make_speaker_vocab
+
+try:  # optional: only needed to read the original TED lmdb caches
+    import lmdb  # type: ignore
+except ImportError:
+    lmdb = None
+try:
+    import pyarrow  # type: ignore
+except ImportError:
+    pyarrow = None
+
+
+# --------------------------------------------------------------------------
+# word-sequence tensorization (ref processor_v2.py:409-441)
+# --------------------------------------------------------------------------
+
+def extend_word_seq(n_frames: int, lang: Vocab, words, aux_info: dict,
+                    end_time: float | None = None,
+                    remove_word_timing: bool = False) -> np.ndarray:
+    """Frame-aligned word-id sequence (PAD=0 elsewhere)."""
+    if end_time is None:
+        end_time = aux_info["end_time"]
+    frame_duration = (end_time - aux_info["start_time"]) / n_frames
+    indices = np.zeros(n_frames, dtype=np.int64)
+    if remove_word_timing:
+        n_words = 0
+        for word in words:
+            idx = max(0, int(np.floor((word[1] - aux_info["start_time"]) / frame_duration)))
+            if idx < n_frames:
+                n_words += 1
+        space = int(n_frames / (n_words + 1))
+        for word_idx in range(n_words):
+            idx = (word_idx + 1) * space
+            indices[idx] = lang.get_word_index(words[word_idx][0])
+    else:
+        for word in words:
+            idx = max(0, int(np.floor((word[1] - aux_info["start_time"]) / frame_duration)))
+            if idx < n_frames:
+                indices[idx] = lang.get_word_index(word[0])
+    return indices
+
+
+def words_to_tensor(lang: Vocab, words, end_time: float | None = None) -> np.ndarray:
+    indexes = [lang.SOS_token]
+    for word in words:
+        if end_time is not None and word[1] > end_time:
+            break
+        indexes.append(lang.get_word_index(word[0]))
+    indexes.append(lang.EOS_token)
+    return np.asarray(indexes, dtype=np.int64)
+
+
+def make_audio_fixed_length(audio: np.ndarray, expected_len: int) -> np.ndarray:
+    n_pad = expected_len - len(audio)
+    if n_pad > 0:
+        return np.pad(audio, (0, n_pad), mode="symmetric")
+    return audio[:expected_len]
+
+
+# --------------------------------------------------------------------------
+# packed dataset (the npz cache schema, processor_v2.py:278-283)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class PackedDataset:
+    extended_word_seq: np.ndarray   # (N, T) int64
+    vec_seq: np.ndarray             # (N, T, 27) f32
+    audio: np.ndarray               # (N, L) int16 (normalized)
+    audio_max: np.ndarray           # (N,) f64
+    mfcc_features: np.ndarray       # (N, 37, mfcc_len) f16
+    vid_indices: np.ndarray         # (N,) int64
+    speaker_model: Vocab | None = None
+    lang_model: Vocab | None = None
+    # non-packed sidecars for eval/rendering paths
+    word_seqs: list | None = None
+    aux_info: list | None = None
+    pose_seqs: np.ndarray | None = None
+
+    @property
+    def n_samples(self) -> int:
+        return len(self.vec_seq)
+
+    def save_npz(self, path: str):
+        np.savez_compressed(
+            path,
+            extended_word_seq=self.extended_word_seq,
+            vec_seq=self.vec_seq,
+            audio=self.audio,
+            audio_max=self.audio_max,
+            mfcc_features=self.mfcc_features,
+            vid_indices=self.vid_indices,
+        )
+
+    @classmethod
+    def load_npz(cls, path: str, speaker_model=None, lang_model=None
+                 ) -> "PackedDataset":
+        npz = np.load(path, allow_pickle=True)
+        return cls(
+            extended_word_seq=npz["extended_word_seq"],
+            vec_seq=npz["vec_seq"].astype(np.float32),
+            audio=npz["audio"],
+            audio_max=npz["audio_max"],
+            mfcc_features=npz["mfcc_features"],
+            vid_indices=npz["vid_indices"],
+            speaker_model=speaker_model,
+            lang_model=lang_model,
+        )
+
+
+class BatchSampler:
+    """Random-with-replacement batches + adversarial speaker ids
+    (ref yield_batch, processor_v2.py:589-638: vid_indices fed to the
+    generator are random speakers *different from* each sample's own)."""
+
+    def __init__(self, dataset: PackedDataset, batch_size: int, seed: int = 1234):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        sp = dataset.speaker_model
+        self.all_speaker_ids = (
+            np.asarray(sorted(sp.word2index.values())) if sp is not None else None
+        )
+
+    def pseudo_passes(self) -> int:
+        return (self.ds.n_samples + self.batch_size - 1) // self.batch_size
+
+    def sample_indices(self) -> np.ndarray:
+        return self.rng.integers(0, self.ds.n_samples, self.batch_size)
+
+    def adversarial_speakers(self, own: np.ndarray) -> np.ndarray:
+        """One random speaker per row, excluding every speaker in `own`
+        (the reference excludes the whole batch's ids via setdiff1d,
+        processor_v2.py:627-630)."""
+        pool = np.setdiff1d(self.all_speaker_ids, own)
+        if len(pool) == 0:
+            pool = self.all_speaker_ids
+        return self.rng.choice(pool, size=self.batch_size)
+
+    def __iter__(self) -> Iterator[dict]:
+        for _ in range(self.pseudo_passes()):
+            idx = self.sample_indices()
+            batch = {
+                "extended_word_seq": self.ds.extended_word_seq[idx].astype(np.int32),
+                "vec_seq": self.ds.vec_seq[idx].astype(np.float32),
+                "audio": (
+                    self.ds.audio[idx]
+                    * self.ds.audio_max[idx, None] / 32767.0
+                ).astype(np.float32),
+                "mfcc_features": self.ds.mfcc_features[idx].astype(np.float32),
+            }
+            if self.all_speaker_ids is not None:
+                batch["vid_indices"] = self.adversarial_speakers(
+                    self.ds.vid_indices[idx]
+                ).astype(np.int32)
+            yield batch
+
+
+# --------------------------------------------------------------------------
+# sample records -> packed arrays (ref save_cache, processor_v2.py:273-341)
+# --------------------------------------------------------------------------
+
+def pack_samples(samples: list, cfg: ModelConfig, lang_model: Vocab,
+                 speaker_model: Vocab,
+                 keep_sidecars: bool = False) -> PackedDataset:
+    n = len(samples)
+    t = cfg.n_poses
+    audio_len = cfg.expected_audio_length
+    mfcc_len = cfg.mfcc_length
+
+    out = PackedDataset(
+        extended_word_seq=np.zeros((n, t), np.int64),
+        vec_seq=np.zeros((n, t, C.POSE_DIM), np.float32),
+        audio=np.zeros((n, audio_len), np.int16),
+        audio_max=np.zeros(n),
+        mfcc_features=np.zeros((n, cfg.num_mfcc_combined, mfcc_len), np.float16),
+        vid_indices=np.zeros(n, np.int64),
+        speaker_model=speaker_model,
+        lang_model=lang_model,
+        word_seqs=[] if keep_sidecars else None,
+        aux_info=[] if keep_sidecars else None,
+        pose_seqs=np.zeros((n, t, C.NUM_JOINTS, 3), np.float32) if keep_sidecars else None,
+    )
+    for k, rec in enumerate(samples):
+        word_seq, pose_seq, vec_seq, audio, _spec, mfcc, aux = rec
+        duration = aux["end_time"] - aux["start_time"]
+        amax = np.max(np.abs(audio))
+        out.audio_max[k] = amax
+        sample_end_time = aux["start_time"] + duration * t / len(vec_seq)
+        audio = make_audio_fixed_length(audio, audio_len)
+        out.extended_word_seq[k] = extend_word_seq(t, lang_model, word_seq, aux,
+                                                   sample_end_time)
+        out.vec_seq[k] = vec_seq[:t].reshape(t, -1)
+        out.audio[k] = np.int16(audio / max(amax, 1e-12) * 32767)
+        out.mfcc_features[k] = mfcc[:, :mfcc_len]
+        out.vid_indices[k] = speaker_model.word2index[aux["vid"]]
+        if keep_sidecars:
+            out.word_seqs.append(word_seq)
+            out.aux_info.append(aux)
+            out.pose_seqs[k] = pose_seq[:t].reshape(t, C.NUM_JOINTS, 3)
+    return out
+
+
+def build_dataset_from_videos(videos, cfg: ModelConfig,
+                              lang_model: Vocab | None = None,
+                              keep_sidecars: bool = False) -> PackedDataset:
+    """videos (raw schema) -> windows -> filter -> packed arrays."""
+    pre = prep.DataPreprocessor(
+        n_poses=int(round(cfg.n_poses * 1.25)),  # margin, ref loader_v2.py:496
+        subdivision_stride=cfg.subdivision_stride,
+        pose_resampling_fps=cfg.motion_resampling_framerate,
+        mean_pose=cfg.mean_pose_array.reshape(-1, 3),
+        mean_dir_vec=cfg.mean_dir_vec_array,
+        num_mfcc=cfg.num_mfcc,
+    )
+    samples = list(pre.run(videos))
+    if lang_model is None:
+        lang_model = build_vocab(
+            "words", ([w[0] for w in rec[0]] for rec in samples),
+            feat_dim=cfg.wordembed_dim, word_vec_path=cfg.wordembed_path,
+        )
+    speaker_model = make_speaker_vocab(sorted({rec[6]["vid"] for rec in samples}))
+    return pack_samples(samples, cfg, lang_model, speaker_model, keep_sidecars)
+
+
+# --------------------------------------------------------------------------
+# synthetic corpus (tests / benches; no TED download required)
+# --------------------------------------------------------------------------
+
+_WORDS = ("the quick brown fox jumps over lazy dog while speaking about "
+          "gesture motion hands arms speech emotion data model train").split()
+
+
+def make_synthetic_videos(n_videos: int = 3, clip_seconds: float = 12.0,
+                          fps: int = 15, seed: int = 0) -> list[dict]:
+    """Raw-schema videos with plausible skeleton geometry (upright spine,
+    moving wrists) that *passes* the motion filter, plus sine-mix audio."""
+    rng = np.random.default_rng(seed)
+    videos = []
+    for v in range(n_videos):
+        n_frames = int(clip_seconds * fps)
+        t = np.linspace(0, clip_seconds, n_frames)[:, None]
+        base = C.MEAN_POSE.reshape(-1, 3)[None].repeat(n_frames, 0)
+        wobble = 0.12 * np.sin(2 * np.pi * (0.3 + 0.1 * v) * t + rng.uniform(0, 6))
+        skel = base.copy()
+        for j in (5, 6, 8, 9):  # elbows + wrists move
+            skel[:, j, 0] += wobble[:, 0] * (1 + 0.2 * j)
+            skel[:, j, 1] += 0.08 * np.cos(2 * np.pi * 0.5 * t[:, 0] + j)
+        skel += rng.normal(0, 0.004, skel.shape)
+
+        n_audio = int(clip_seconds * C.AUDIO_SR)
+        ta = np.arange(n_audio) / C.AUDIO_SR
+        audio = (0.4 * np.sin(2 * np.pi * (160 + 15 * v) * ta)
+                 + 0.1 * rng.standard_normal(n_audio)).astype(np.float32)
+        spec = dsp_ref.extract_mel_spectrogram(audio)
+
+        words, tw = [], 0.05
+        while tw < clip_seconds - 0.4:
+            dur = rng.uniform(0.2, 0.5)
+            words.append([str(rng.choice(_WORDS)), tw, tw + dur])
+            tw += dur + rng.uniform(0.02, 0.2)
+
+        videos.append({
+            "vid": f"synthetic_vid_{v}",
+            "clips": [{
+                "skeletons_3d": skel,
+                "audio_feat": spec,
+                "audio_raw": audio,
+                "words": words,
+                "start_frame_no": 0,
+                "end_frame_no": n_frames,
+                "start_time": 0.0,
+                "end_time": clip_seconds,
+            }],
+        })
+    return videos
+
+
+# --------------------------------------------------------------------------
+# original TED lmdb ingestion (gated on lmdb + pyarrow)
+# --------------------------------------------------------------------------
+
+def iter_lmdb_videos(lmdb_dir: str) -> Iterator[dict]:
+    """Stream raw-schema videos from the original TED lmdb."""
+    if lmdb is None or pyarrow is None:
+        raise ImportError("lmdb/pyarrow are required to read TED caches")
+    env = lmdb.open(lmdb_dir, readonly=True, lock=False)
+    with env.begin(write=False) as txn:
+        for _key, value in txn.cursor():
+            yield pyarrow.deserialize(value)
+    env.close()
+
+
+def load_ted_db_data(base_path: str, cfg: ModelConfig,
+                     load_train_val: bool = True,
+                     cache_dir: str | None = None):
+    """Three packed splits (+ shared word vocab), mirroring
+    loader_v2.load_ted_db_data(:585-639). Packed caches are stored as
+    <split>.npz next to the lmdb dirs."""
+    splits = {}
+    paths = {
+        "train": cfg.train_data_path,
+        "val": cfg.val_data_path,
+        "test": cfg.test_data_path,
+    }
+    wanted = ["train", "val", "test"] if load_train_val else ["test"]
+    lang_model = None
+    for split in wanted:
+        lmdb_dir = os.path.join(base_path, paths[split])
+        cache = os.path.join(cache_dir or os.path.dirname(lmdb_dir),
+                             f"{split}_s2ag_tpu_packed_mfcc_{cfg.num_mfcc}.npz")
+        vocab_cache = cache.replace(".npz", "_vocab.pkl")
+        if os.path.exists(cache):
+            with open(vocab_cache, "rb") as f:
+                lang_model, speaker_model = pickle.load(f)
+            splits[split] = PackedDataset.load_npz(
+                cache, speaker_model=speaker_model, lang_model=lang_model
+            )
+        else:
+            ds = build_dataset_from_videos(
+                iter_lmdb_videos(lmdb_dir), cfg, lang_model=lang_model,
+                keep_sidecars=(split == "test"),
+            )
+            lang_model = ds.lang_model
+            ds.save_npz(cache)
+            with open(vocab_cache, "wb") as f:
+                pickle.dump((ds.lang_model, ds.speaker_model), f)
+            splits[split] = ds
+    return splits
