@@ -1,0 +1,148 @@
+"""CLI entry point — the framework's equivalent of reference `main_v2.py`.
+
+Same public flag surface (main_v2.py:31-98) and flow: parse run args + YAML
+model config, create work/output dirs, load the TED-db splits, build the
+trainer, train (optional), then run batch evaluation and long-clip
+synthesis on the test samples.
+
+Run: python -m speech2affective_gestures_tpu.main_v2 -b BASE_PATH \
+         -c config/multimodal_context_v2.yml [--train-s2ag true] ...
+
+Works without lmdb by passing `--synthetic-data true` (tests/demos), which
+swaps the TED lmdb for the synthetic corpus generator.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from os.path import join as jn
+
+import numpy as np
+
+from .config import ModelConfig
+from .data import ted_db
+from .train.evaluator import EmbeddingSpaceEvaluator
+from .train.trainer import Trainer
+
+
+def str2bool(v):
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Speech to Emotive Gestures (TPU)")
+    p.add_argument("-b", "--base-path", required=True, type=str)
+    p.add_argument("-c", "--config", required=True, type=str)
+    p.add_argument("--dataset-s2ag", type=str, default="ted_db")
+    p.add_argument("--dataset-test", type=str, default="ted_db")
+    p.add_argument("-dap", "--dataset-s2ag-already-processed",
+                   type=str2bool, default=True)
+    p.add_argument("--frame-drop", type=int, default=2)
+    p.add_argument("--train-s2ag", type=str2bool, default=True)
+    p.add_argument("--use-multiple-gpus", type=str2bool, default=True,
+                   help="use every visible device via the data mesh")
+    p.add_argument("--s2ag-load-last-best", type=str2bool, default=True)
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--num-worker", type=int, default=4)
+    p.add_argument("--s2ag-start-epoch", type=int, default=0)
+    p.add_argument("--s2ag-num-epoch", type=int, default=500)
+    p.add_argument("--lr-s2ag-decay", type=float, default=0.999)
+    p.add_argument("--gradient-clip", type=float, default=0.1)
+    p.add_argument("--val-interval", type=int, default=1)
+    p.add_argument("--log-interval", type=int, default=200)
+    p.add_argument("--save-interval", type=int, default=10)
+    p.add_argument("--torch-checkpoint", type=str, default="",
+                   help="optional reference .pth.tar to convert and load")
+    p.add_argument("--embedding-net-checkpoint", type=str, default="",
+                   help="frozen FGD embedding net .pth.tar")
+    p.add_argument("--synthetic-data", type=str2bool, default=False,
+                   help="use the synthetic corpus instead of TED lmdb")
+    p.add_argument("--print-log", action="store_true", default=True)
+    p.add_argument("--save-log", action="store_true", default=True)
+    return p
+
+
+def load_datasets(args, cfg: ModelConfig):
+    if args.synthetic_data:
+        videos = ted_db.make_synthetic_videos(n_videos=4, clip_seconds=12.0)
+        full = ted_db.build_dataset_from_videos(videos, cfg, keep_sidecars=True)
+        n = full.n_samples
+        cut1, cut2 = int(n * 0.7), int(n * 0.85)
+        idx = np.arange(n)
+
+        def subset(sel):
+            return ted_db.PackedDataset(
+                extended_word_seq=full.extended_word_seq[sel],
+                vec_seq=full.vec_seq[sel],
+                audio=full.audio[sel],
+                audio_max=full.audio_max[sel],
+                mfcc_features=full.mfcc_features[sel],
+                vid_indices=full.vid_indices[sel],
+                speaker_model=full.speaker_model,
+                lang_model=full.lang_model,
+            )
+
+        return subset(idx[:cut1]), subset(idx[cut1:cut2]), subset(idx[cut2:])
+    data_path = jn(args.base_path, "..", "data")
+    splits = ted_db.load_ted_db_data(
+        jn(data_path, args.dataset_s2ag), cfg, load_train_val=args.train_s2ag
+    )
+    return splits.get("train"), splits.get("val"), splits.get("test")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = ModelConfig.from_yaml(args.config, batch_size=args.batch_size)
+
+    models_s2ag_path = jn(args.base_path, "models", "s2ag_v2_mfcc_tpu")
+    work_dir = jn(models_s2ag_path, args.dataset_s2ag)
+    os.makedirs(work_dir, exist_ok=True)
+    video_save_path = jn(args.base_path, "outputs", args.dataset_test,
+                         "videos_trimodal_style")
+    os.makedirs(video_save_path, exist_ok=True)
+
+    train_data, val_data, test_data = load_datasets(args, cfg)
+
+    evaluator = None
+    if args.embedding_net_checkpoint:
+        evaluator = EmbeddingSpaceEvaluator.from_torch_checkpoint(
+            args.embedding_net_checkpoint
+        )
+
+    trainer = Trainer(
+        cfg, work_dir,
+        train_data=train_data, val_data=val_data, test_data=test_data,
+        use_mesh=args.use_multiple_gpus,
+        val_interval=args.val_interval,
+        save_interval=args.save_interval,
+        seed=cfg.random_seed,
+        evaluator=evaluator,
+    )
+    trainer.logger.save_arg(vars(args))
+
+    if args.torch_checkpoint:
+        trainer.load_torch_checkpoint(args.torch_checkpoint)
+    elif args.s2ag_load_last_best:
+        trainer.load_checkpoint(
+            "best" if args.s2ag_start_epoch == 0 else args.s2ag_start_epoch
+        )
+
+    if args.train_s2ag:
+        trainer.train(epochs=args.s2ag_num_epoch)
+
+    if test_data is not None and test_data.n_samples > 0:
+        trainer.generate_gestures(
+            batch_size=min(2048, test_data.n_samples), randomized=False
+        )
+    return trainer
+
+
+if __name__ == "__main__":
+    main()

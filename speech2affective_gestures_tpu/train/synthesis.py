@@ -1,0 +1,209 @@
+"""Streaming long-clip gesture synthesis (windowed, autoregressive).
+
+Capability parity with reference `render_clip` (processor_v2.py:1144-1439):
+arbitrary-length clips are synthesized in 34-frame windows with stride
+(n_poses - n_pre_poses) frames, each window seeded with the previous
+window's last 4 output poses, then blended with a 4-frame linear crossfade;
+optional fade-out to the mean pose with quadratic-polyfit smoothing.
+
+TPU-first redesign:
+- MFCC features for ALL windows are computed on device in one batched call
+  (`ops.dsp.get_mfcc_features`) instead of per-window librosa on the host;
+- the autoregressive window loop is a single `jax.lax.scan` whose carry is
+  the 4-pose seed — one compiled program regardless of clip length;
+- the crossfade/assembly runs vectorized afterwards (the blend only touches
+  each window's first n_pre frames against the previous window's last
+  n_pre raw frames, so it commutes with the scan).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..config import ModelConfig
+from ..data import ted_db
+from ..data.preprocessor import get_words_in_time_range
+from ..ops import dsp
+
+
+def plan_subdivisions(clip_length: float, cfg: ModelConfig,
+                      unit_time: float | None = None):
+    """Window schedule (ref processor_v2.py:1200-1235)."""
+    if unit_time is None:
+        unit_time = cfg.n_poses / cfg.motion_resampling_framerate
+    stride_time = (cfg.n_poses - cfg.n_pre_poses) / cfg.motion_resampling_framerate
+    if clip_length < unit_time:
+        num = 1
+    else:
+        num = math.ceil((clip_length - unit_time) / stride_time) + 1
+    windows = []
+    for i in range(num):
+        start = min(i * stride_time, clip_length)
+        end = min(start + unit_time, clip_length)
+        if start >= end:
+            continue
+        windows.append((start, end))
+    return windows, unit_time, stride_time
+
+
+def prepare_window_inputs(clip_audio: np.ndarray, clip_words, lang_model,
+                          cfg: ModelConfig, sample_rate: int = C.AUDIO_SR,
+                          unit_time: float | None = None):
+    """Slice audio + build frame-aligned word ids for every window.
+
+    Returns (audio_windows (S, L), text_windows (S, T), end_padding_samples).
+    """
+    clip_length = len(clip_audio) / sample_rate
+    windows, unit_time, _ = plan_subdivisions(clip_length, cfg, unit_time)
+    audio_len = int(unit_time * sample_rate)
+    n_frames = cfg.n_poses
+
+    audio_windows = np.zeros((len(windows), audio_len), np.float32)
+    text_windows = np.zeros((len(windows), n_frames), np.int64)
+    end_padding = 0
+    for i, (start, end) in enumerate(windows):
+        a_start = math.floor(start / clip_length * len(clip_audio))
+        seg = clip_audio[a_start : a_start + audio_len]
+        if len(seg) < audio_len and i == len(windows) - 1:
+            end_padding = audio_len - len(seg)
+        audio_windows[i, : len(seg)] = seg  # zero ('constant') padding
+
+        word_seq = get_words_in_time_range(clip_words, start, end)
+        frame_duration = (end - start) / n_frames
+        for word in word_seq:
+            idx = max(0, int(np.floor((word[1] - start) / frame_duration)))
+            if idx < n_frames:
+                text_windows[i, idx] = lang_model.get_word_index(word[0])
+    return audio_windows, text_windows, end_padding
+
+
+def make_window_scan(gen_apply, cfg: ModelConfig, use_mfcc: bool = True):
+    """Compile the autoregressive window loop once.
+
+    scan_fn(variables, audio_feat_windows, text_windows, vid_idx, seed, rng)
+    -> raw per-window outputs (S, T, pose_dim). audio_feat_windows is MFCC
+    (S, 37, len) when use_mfcc else raw audio (S, L).
+    """
+
+    @jax.jit
+    def scan_fn(variables, feat_windows, text_windows, vid_idx, seed, rng):
+        n_pre = cfg.n_pre_poses
+        t = cfg.n_poses
+
+        def step(carry, xs):
+            seed, key = carry
+            feat, text = xs
+            pre = jnp.zeros((1, t, C.POSE_DIM + 1))
+            pre = pre.at[0, :n_pre, :-1].set(seed)
+            pre = pre.at[0, :n_pre, -1].set(1.0)
+            key, sub = jax.random.split(key)
+            out, *_ = gen_apply(
+                variables, pre, text[None], feat[None], vid_idx,
+                train=False, rngs={"noise": sub},
+            )
+            return (out[0, -n_pre:], key), out[0]
+
+        (_, _), outs = jax.lax.scan(
+            step, (seed, rng), (feat_windows, text_windows)
+        )
+        return outs
+
+    return scan_fn
+
+
+def crossfade_windows(outs: np.ndarray, n_pre: int) -> np.ndarray:
+    """Blend + assemble raw window outputs (ref processor_v2.py:1302-1331).
+
+    Window i>0's first n_pre frames are linearly mixed with window i-1's
+    last n_pre frames; each non-final window then drops its last n_pre
+    frames before concatenation.
+    """
+    s, t, d = outs.shape
+    if s == 1:
+        return outs[0].copy()
+    blended = outs.copy()
+    j = np.arange(n_pre, dtype=outs.dtype)
+    w_prev = ((n_pre - j) / (n_pre + 1))[None, :, None]
+    w_next = ((j + 1) / (n_pre + 1))[None, :, None]
+    blended[1:, :n_pre] = outs[:-1, -n_pre:] * w_prev + outs[1:, :n_pre] * w_next
+    pieces = [blended[i, : t - n_pre] for i in range(s - 1)] + [blended[-1]]
+    return np.concatenate(pieces, axis=0)
+
+
+def fade_out_poses(out_dir_vec: np.ndarray, end_padding_samples: int,
+                   cfg: ModelConfig, sample_rate: int = C.AUDIO_SR) -> np.ndarray:
+    """Fade to the mean pose + quadratic polyfit smoothing over the seam
+    (ref processor_v2.py:1334-1391)."""
+    n_smooth = cfg.n_pre_poses
+    start_frame = len(out_dir_vec) - int(
+        end_padding_samples / sample_rate * cfg.motion_resampling_framerate
+    )
+    end_frame = start_frame + n_smooth * 2
+    if len(out_dir_vec) < end_frame:
+        out_dir_vec = np.pad(
+            out_dir_vec, [(0, end_frame - len(out_dir_vec)), (0, 0)],
+            mode="constant",
+        )
+    out_dir_vec[end_frame - n_smooth :] = 0.0  # mean pose in normalized space
+
+    y = out_dir_vec[start_frame:end_frame]
+    x = np.arange(y.shape[0])
+    w = np.ones(len(y))
+    w[0] = w[-1] = 5
+    coeffs = np.polyfit(x, y, 2, w=w)
+    interpolated = np.stack(
+        [np.poly1d(coeffs[:, k])(x) for k in range(y.shape[1])], axis=1
+    )
+    out_dir_vec[start_frame:end_frame] = interpolated
+    return out_dir_vec
+
+
+def synthesize_clip(
+    gen_apply,
+    variables,
+    clip_audio: np.ndarray,
+    clip_words,
+    lang_model,
+    cfg: ModelConfig,
+    vid_idx: int = 0,
+    seed_dir_vec: np.ndarray | None = None,
+    rng: jax.Array | None = None,
+    sample_rate: int = C.AUDIO_SR,
+    fade_out: bool = False,
+    use_mfcc: bool = True,
+    scan_fn=None,
+) -> np.ndarray:
+    """Full streaming synthesis: audio + timed words -> (F, pose_dim)
+    mean-normalized direction vectors for the whole clip."""
+    audio_windows, text_windows, end_padding = prepare_window_inputs(
+        clip_audio, clip_words, lang_model, cfg, sample_rate
+    )
+    if use_mfcc:
+        feat_windows = dsp.get_mfcc_features(
+            jnp.asarray(audio_windows), sr=sample_rate, num_mfcc=cfg.num_mfcc
+        )[..., : cfg.mfcc_length]
+    else:
+        feat_windows = jnp.asarray(audio_windows)
+
+    if seed_dir_vec is None:
+        seed = jnp.zeros((cfg.n_pre_poses, C.POSE_DIM))
+    else:
+        seed = jnp.asarray(seed_dir_vec[: cfg.n_pre_poses])
+    if rng is None:
+        rng = jax.random.key(0)
+    if scan_fn is None:
+        scan_fn = make_window_scan(gen_apply, cfg, use_mfcc)
+    outs = np.asarray(
+        scan_fn(variables, feat_windows, jnp.asarray(text_windows),
+                jnp.asarray([vid_idx]), seed, rng)
+    )
+    out_dir_vec = crossfade_windows(outs, cfg.n_pre_poses)
+    if fade_out:
+        out_dir_vec = fade_out_poses(out_dir_vec, end_padding, cfg, sample_rate)
+    return out_dir_vec

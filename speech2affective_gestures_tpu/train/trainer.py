@@ -1,0 +1,279 @@
+"""Training/evaluation driver.
+
+Capability parity with reference `processor_v2.py` class Processor: epoch
+loop with warmup-gated GAN updates, periodic validation, best-model
+checkpointing with reference-style names `epoch_{:06d}_loss_{:.4f}_model`,
+resume-by-filename, batch evaluation with FGD/MAE/accel.
+
+TPU-first: the hot loop is one jitted step (train/gan_step.py); the packed
+dataset lives on device and per-step batches are gathered there by
+host-sampled indices; under a Mesh the same loop runs data-parallel.
+
+Checkpoints are orbax directories holding the full TrainState (G, D, both
+Adam states, step) — unlike the reference, which drops optimizer state
+(SURVEY §5.4); the "best" selection takes the true minimum positive loss
+(the reference's argpartition quirk selects the *second* smallest,
+processor_v2.py:58-71 — divergence documented here on purpose).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .. import constants as C
+from ..config import ModelConfig
+from ..data.ted_db import BatchSampler, PackedDataset
+from ..parallel import mesh as pmesh
+from . import builder
+from .evaluator import EmbeddingSpaceEvaluator, push_sample_metrics
+from .gan_step import build_pre_seq
+from .logger import TrainLogger
+from .losses import AverageMeter
+
+_CKPT_RE = re.compile(r"epoch_(\d+)_loss_(-?[\d.]+)_model$")
+
+
+def parse_checkpoint_name(name: str):
+    m = _CKPT_RE.match(name)
+    if not m:
+        return None
+    return int(m.group(1)), float(m.group(2))
+
+
+def find_checkpoint(work_dir: str, epoch: int | str = "best"):
+    """Reference-style resume by directory listing (processor_v2.py:53-83);
+    'best' = minimum positive loss (see module docstring on the quirk)."""
+    if not os.path.isdir(work_dir):
+        return None
+    entries = []
+    for name in os.listdir(work_dir):
+        parsed = parse_checkpoint_name(name)
+        if parsed:
+            entries.append((name, *parsed))
+    if not entries:
+        return None
+    if epoch == "best":
+        positive = [e for e in entries if e[2] > 0]
+        pool = positive or entries
+        return min(pool, key=lambda e: e[2])
+    for e in entries:
+        if e[1] == int(epoch):
+            return e
+    return None
+
+
+class Trainer:
+    """Orchestrates GAN training on packed datasets."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        work_dir: str,
+        train_data: PackedDataset | None = None,
+        val_data: PackedDataset | None = None,
+        test_data: PackedDataset | None = None,
+        use_mesh: bool = False,
+        min_train_epochs: int = 20,
+        val_interval: int = 1,
+        save_interval: int = 10,
+        seed: int = 1234,
+        evaluator: EmbeddingSpaceEvaluator | None = None,
+    ):
+        self.cfg = cfg
+        self.work_dir = work_dir
+        self.logger = TrainLogger(work_dir)
+        self.train_data, self.val_data, self.test_data = train_data, val_data, test_data
+        self.min_train_epochs = min_train_epochs
+        self.val_interval = val_interval
+        self.save_interval = save_interval
+        self.evaluator = evaluator
+
+        ref = train_data or val_data or test_data
+        n_words = ref.lang_model.n_words if ref and ref.lang_model else 1000
+        n_speakers = (
+            ref.speaker_model.n_words if ref and ref.speaker_model else 100
+        )
+        word_embeddings = (
+            ref.lang_model.word_embedding_weights if ref and ref.lang_model else None
+        )
+        setup = builder.init_training(
+            cfg, jax.random.key(max(seed, 0)), n_words=n_words,
+            n_speakers=n_speakers, word_embeddings=word_embeddings,
+        )
+        self.gen, self.dis, self.tri = setup["gen"], setup["dis"], setup["tri"]
+        self.state = setup["state"]
+        self.train_step = setup["train_step"]
+        self.eval_step = setup["eval_step"]
+        self.gan_cfg = setup["gan_cfg"]
+
+        self.mesh = None
+        if use_mesh and len(jax.devices()) > 1:
+            self.mesh = pmesh.make_mesh()
+            self.state = pmesh.replicate_state(self.state, self.mesh)
+            self.train_step = pmesh.data_parallel_step(self.train_step, self.mesh)
+            self.eval_step = pmesh.data_parallel_step(self.eval_step, self.mesh)
+
+        self.rng = jax.random.key(seed if seed >= 0 else int(time.time()))
+        self.best_loss = np.inf
+        self.best_loss_epoch = 0
+        self.epoch = 0
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # ------------------------------------------------------------- epochs
+    def _next_rng(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    def _put(self, batch: dict):
+        if self.mesh is not None:
+            return pmesh.shard_batch(batch, self.mesh)
+        return jax.device_put(batch)
+
+    def per_train_epoch(self, log_interval: int = 50) -> float:
+        sampler = BatchSampler(
+            self.train_data, self.cfg.batch_size,
+            seed=self.epoch * 7919 + 1,
+        )
+        gan_on = self.epoch > self.gan_cfg.loss_warmup
+        total, n = 0.0, 0
+        start = time.time()
+        for i, batch in enumerate(sampler):
+            self.state, metrics = self.train_step(
+                self.state, self._put(batch), self._next_rng(), gan_on=gan_on
+            )
+            loss = float(metrics.get("s2ag_vs_trimodal_l1", metrics["s2ag_l1"]))
+            total, n = total + loss, n + 1
+            if i % log_interval == 0:
+                line = " | ".join(
+                    f"{k}: {float(v):.4f}" for k, v in metrics.items()
+                )
+                self.logger.print_log(f"\tIter {i} Done. | {line}")
+        self.logger.print_log(
+            f"epoch {self.epoch} train: mean_s2ag_loss {total / max(n,1):.4f} "
+            f"({time.time() - start:.1f}s, {n} iters)"
+        )
+        return total / max(n, 1)
+
+    def per_val_epoch(self) -> float:
+        sampler = BatchSampler(self.val_data, self.cfg.batch_size, seed=999)
+        gan_on = self.epoch > self.gan_cfg.loss_warmup
+        total, n = 0.0, 0
+        for batch in sampler:
+            _, metrics = self.eval_step(
+                self.state, self._put(batch), self._next_rng(), gan_on=gan_on
+            )
+            total += float(metrics.get("s2ag_vs_trimodal_l1", metrics["s2ag_l1"]))
+            n += 1
+        mean = total / max(n, 1)
+        self.logger.print_log(f"epoch {self.epoch} val: mean_s2ag_loss {mean:.4f}")
+        return mean
+
+    def train(self, epochs: int | None = None):
+        epochs = epochs or self.cfg.epochs
+        for self.epoch in range(self.epoch, epochs):
+            self.per_train_epoch()
+            save = (self.epoch % self.save_interval == 0)
+            if self.val_data is not None and self.epoch % self.val_interval == 0:
+                val_loss = self.per_val_epoch()
+                if val_loss < self.best_loss and self.epoch > self.min_train_epochs:
+                    self.best_loss = val_loss
+                    self.best_loss_epoch = self.epoch
+                    save = True
+            if save:
+                self.save_checkpoint(self.best_loss if np.isfinite(self.best_loss)
+                                     else 0.0)
+
+    # -------------------------------------------------------- checkpoints
+    def _ckpt_name(self, loss: float) -> str:
+        return f"epoch_{self.epoch:06d}_loss_{loss:.4f}_model"
+
+    def save_checkpoint(self, loss: float):
+        path = os.path.join(os.path.abspath(self.work_dir), self._ckpt_name(loss))
+        state = jax.device_get(self.state)
+        self._ckptr.save(path, state, force=True)
+        self._ckptr.wait_until_finished()
+        self.logger.print_log(f"saved checkpoint {path}")
+
+    def load_checkpoint(self, epoch: int | str = "best") -> bool:
+        found = find_checkpoint(self.work_dir, epoch)
+        if not found:
+            self.logger.print_log("Warning! No saved model found.")
+            return False
+        name, ckpt_epoch, loss = found
+        restored = self._ckptr.restore(
+            os.path.join(os.path.abspath(self.work_dir), name),
+            target=jax.device_get(self.state),
+        )
+        self.state = jax.device_put(restored)
+        if self.mesh is not None:
+            self.state = pmesh.replicate_state(self.state, self.mesh)
+        self.epoch = ckpt_epoch
+        self.best_loss, self.best_loss_epoch = loss, ckpt_epoch
+        self.logger.print_log(f"restored {name}")
+        return True
+
+    def load_torch_checkpoint(self, path: str):
+        """Ingest a reference .pth.tar ({'gen_model_dict','dis_model_dict'})."""
+        from ..convert import torch_ckpt
+
+        blob = torch_ckpt.load_pth_tar(path)
+        gen_vars, dis_vars = torch_ckpt.convert_s2ag_checkpoint(blob)
+        self.state = self.state.replace(
+            gen_params=gen_vars["params"], gen_stats=gen_vars["batch_stats"],
+            dis_params=dis_vars["params"], dis_stats=dis_vars["batch_stats"],
+        )
+        self.logger.print_log(f"converted torch checkpoint {path}")
+
+    # ------------------------------------------------------------- eval
+    def generate_gestures(self, batch_size: int = 2048, randomized: bool = True,
+                          seed: int = 0) -> dict[str, Any]:
+        """Batch evaluation on the test split: L1 / FGD / joint MAE / accel
+        (ref generate_gestures, processor_v2.py:1071-1142)."""
+        ds = self.test_data
+        rng = np.random.default_rng(seed)
+        n = min(batch_size, ds.n_samples)
+        idx = (rng.choice(ds.n_samples, n, replace=False) if randomized
+               else np.arange(n))
+        batch = {
+            "extended_word_seq": ds.extended_word_seq[idx].astype(np.int32),
+            "vec_seq": ds.vec_seq[idx].astype(np.float32),
+            "audio": (ds.audio[idx] * ds.audio_max[idx, None] / 32767.0
+                      ).astype(np.float32),
+            "mfcc_features": ds.mfcc_features[idx].astype(np.float32),
+            "vid_indices": rng.choice(
+                sorted(ds.speaker_model.word2index.values()), n
+            ).astype(np.int32),
+        }
+        out, metrics = self.eval_step(
+            self.state, self._put(batch), self._next_rng(),
+            gan_on=self.epoch > self.gan_cfg.loss_warmup,
+        )
+        out = np.asarray(out)
+        losses_all = AverageMeter("loss")
+        joint_mae = AverageMeter("mae")
+        accel = AverageMeter("accel")
+        push_sample_metrics(
+            batch["vec_seq"], out, self.cfg.mean_dir_vec_array,
+            losses_all, joint_mae, accel, self.cfg.n_pre_poses, self.evaluator,
+        )
+        result = {
+            "l1": losses_all.avg,
+            "joint_mae": joint_mae.avg,
+            "accel": accel.avg,
+        }
+        if self.evaluator is not None and self.evaluator.get_no_of_samples() > 0:
+            fgd, feat_dist = self.evaluator.get_scores()
+            result["FGD"] = fgd
+            result["feat_dist"] = feat_dist
+            self.evaluator.reset()
+        self.logger.print_log(
+            "eval: " + " | ".join(f"{k}: {v:.4f}" for k, v in result.items())
+        )
+        return result
