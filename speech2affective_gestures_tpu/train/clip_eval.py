@@ -1,0 +1,287 @@
+"""Long-clip evaluation: stitch test windows into clips, synthesize with both
+generators, render videos / dump pickles.
+
+Capability parity with reference `generate_gestures_by_dataset` +
+`render_clip` (processor_v2.py:1144-1567):
+
+- ted_db path: walk the test split in storage order and merge contiguous
+  windows of the same video (frame ranges touching) into full clips
+  (:1458-1522);
+- genea_challenge_2020 path: wav + BVH (render/bvh.load_bvh) + JSON
+  transcript triples (:1524-1564);
+- render_clip: resample poses -> target dir-vecs, windowed autoregressive
+  synthesis for the s2ag generator (MFCC) and the frozen trimodal baseline
+  (raw wav), crossfade/fade-out, 3-panel video, *_trimodal.pkl/_s2ag.pkl.
+
+The per-window loops run as compiled scans (train/synthesis.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from os.path import join as jn
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..config import ModelConfig
+from ..data.preprocessor import resample_pose_seq
+from ..data.ted_db import PackedDataset
+from ..ops import pose as pose_ops
+from ..render import bvh as bvh_mod
+from ..render import video as video_mod
+from . import synthesis
+
+GENEA_JOINTS_TO_KEEP = [0, 4, 6, 7, 9, 10, 11, 28, 29, 30]
+
+
+def stitch_test_clips(ds: PackedDataset):
+    """Merge contiguous same-video windows into full clips
+    (ref processor_v2.py:1495-1522). Requires sidecars (keep_sidecars=True).
+    Yields dicts {vid, poses (F,J,3), audio (L,), words, time (t0, t1)}.
+    """
+    assert ds.aux_info is not None and ds.pose_seqs is not None, (
+        "stitching requires a dataset built with keep_sidecars=True"
+    )
+    current = None
+    for k in range(ds.n_samples):
+        aux = ds.aux_info[k]
+        poses = ds.pose_seqs[k]
+        audio = (ds.audio[k].astype(np.float32) * ds.audio_max[k] / 32767.0)
+        words = [list(w) for w in ds.word_seqs[k]]
+        frames = [aux["start_frame_no"], aux["end_frame_no"]]
+        times = [aux["start_time"], aux["end_time"]]
+
+        if (current is None or aux["vid"] != current["vid"]
+                or frames[0] - 1 > current["frames"][1]):
+            if current is not None:
+                yield current
+            current = {
+                "vid": aux["vid"], "poses": poses, "audio": audio,
+                "words": words, "frames": frames, "time": times,
+            }
+        else:
+            frame_idx_last = frames[0] - current["frames"][0]
+            current["poses"] = np.concatenate(
+                [current["poses"][:frame_idx_last], poses], axis=0
+            )
+            cut = int((times[0] - current["time"][0]) * C.AUDIO_SR)
+            current["audio"] = np.concatenate([current["audio"][:cut], audio])
+            for word in words:
+                if word not in current["words"]:
+                    current["words"].append(word)
+            current["frames"][1] = frames[1]
+            current["time"][1] = times[1]
+    if current is not None:
+        yield current
+
+
+class ClipRenderer:
+    """Holds the compiled window scans for both generators."""
+
+    def __init__(self, trainer, cfg: ModelConfig | None = None):
+        self.trainer = trainer
+        self.cfg = cfg or trainer.cfg
+        self._s2ag_scan = synthesis.make_window_scan(
+            trainer.gen.apply, self.cfg, use_mfcc=True
+        )
+        self._tri_scan = (
+            synthesis.make_window_scan(trainer.tri.apply, self.cfg, use_mfcc=False)
+            if trainer.state.tri_params is not None else None
+        )
+
+    def _gen_vars(self):
+        s = self.trainer.state
+        return {"params": s.gen_params, "batch_stats": s.gen_stats}
+
+    def _tri_vars(self):
+        s = self.trainer.state
+        return {"params": s.tri_params, "batch_stats": s.tri_stats}
+
+    def render_clip(self, vid_name: str, clip_poses: np.ndarray,
+                    clip_audio: np.ndarray, sample_rate: int, clip_words,
+                    clip_time, speaker_vid_idx: int = 0,
+                    clip_duration_range=(5, 30), check_duration: bool = True,
+                    fade_out: bool = False, make_video: bool = False,
+                    save_pkl: bool = False, save_path: str = "render",
+                    rng=None):
+        """ref render_clip (processor_v2.py:1144-1439)."""
+        cfg = self.cfg
+        mean_dir_vec = cfg.mean_dir_vec_array
+        duration = clip_time[1] - clip_time[0]
+        if check_duration and not (
+            clip_duration_range[0] <= duration <= clip_duration_range[1]
+        ):
+            return None, None, None
+
+        clip_poses_resampled = resample_pose_seq(
+            clip_poses, duration, cfg.motion_resampling_framerate
+        )
+        target_dir_vec = np.asarray(pose_ops.convert_pose_seq_to_dir_vec(
+            jnp.asarray(clip_poses_resampled)
+        )).reshape(len(clip_poses_resampled), -1) - mean_dir_vec
+
+        # make word timings clip-relative (ref :1169-1171)
+        words = [[w[0], w[1] - clip_time[0], w[2] - clip_time[0]]
+                 for w in clip_words]
+        seed = target_dir_vec[: cfg.n_pre_poses]
+        rng = rng if rng is not None else jax.random.key(0)
+        r1, r2 = jax.random.split(rng)
+
+        lang = (self.trainer.test_data.lang_model
+                if self.trainer.test_data is not None else None)
+        out_dir_vec = synthesis.synthesize_clip(
+            self.trainer.gen.apply, self._gen_vars(), clip_audio, words, lang,
+            cfg, vid_idx=speaker_vid_idx, seed_dir_vec=seed, rng=r1,
+            sample_rate=sample_rate, fade_out=fade_out, use_mfcc=True,
+            scan_fn=self._s2ag_scan,
+        )
+        out_dir_vec_trimodal = None
+        if self._tri_scan is not None:
+            out_dir_vec_trimodal = synthesis.synthesize_clip(
+                self.trainer.tri.apply, self._tri_vars(), clip_audio, words,
+                lang, cfg, vid_idx=speaker_vid_idx, seed_dir_vec=seed, rng=r2,
+                sample_rate=sample_rate, fade_out=fade_out, use_mfcc=False,
+                scan_fn=self._tri_scan,
+            )
+
+        prefix = f"{vid_name}_s{speaker_vid_idx}_{clip_time[0]:.2f}_{clip_time[1]:.2f}"
+        sentence = " ".join(w[0] for w in clip_words)
+
+        if make_video:
+            video_mod.create_video_and_save(
+                save_path, 0, prefix, 0, target_dir_vec,
+                out_dir_vec_trimodal if out_dir_vec_trimodal is not None
+                else np.zeros_like(out_dir_vec),
+                out_dir_vec, mean_dir_vec, sentence,
+                audio=clip_audio, clipping_to_shortest_stream=True,
+                delete_audio_file=False,
+            )
+
+        out_poses = np.asarray(pose_ops.convert_dir_vec_to_pose(
+            jnp.asarray(out_dir_vec + mean_dir_vec)
+        ))
+        out_poses_trimodal = None
+        if out_dir_vec_trimodal is not None:
+            out_poses_trimodal = np.asarray(pose_ops.convert_dir_vec_to_pose(
+                jnp.asarray(out_dir_vec_trimodal + mean_dir_vec)
+            ))
+
+        if save_pkl:
+            if out_dir_vec_trimodal is not None:
+                video_mod.save_generation_pkl(
+                    save_path, prefix, "trimodal", sentence, clip_audio,
+                    out_dir_vec_trimodal + mean_dir_vec, out_poses_trimodal,
+                    target_dir_vec + mean_dir_vec,
+                    f"{vid_name}_{speaker_vid_idx}_0",
+                )
+            video_mod.save_generation_pkl(
+                save_path, prefix, "s2ag", sentence, clip_audio,
+                out_dir_vec + mean_dir_vec, out_poses,
+                target_dir_vec + mean_dir_vec,
+                f"{vid_name}_{speaker_vid_idx}_0",
+            )
+        return clip_poses_resampled, out_poses_trimodal, out_poses
+
+
+def generate_gestures_by_dataset(
+    trainer, dataset: str = "ted_db", data_params: dict | None = None,
+    check_duration: bool = True, samples=None, randomized: bool = True,
+    fade_out: bool = False, make_video: bool = False, save_pkl: bool = False,
+    save_path: str = "render", seed: int = 0,
+):
+    """ref processor_v2.py:1441-1567."""
+    data_params = dict(data_params or {})
+    renderer = ClipRenderer(trainer)
+    rng = np.random.default_rng(seed)
+    results = []
+    start = time.time()
+
+    if dataset.lower() == "ted_db":
+        data_params.setdefault("clip_duration_range", [5, 12])
+        n_speakers = (
+            trainer.test_data.speaker_model.n_words
+            if trainer.test_data.speaker_model else 1
+        )
+        for clip in stitch_test_clips(trainer.test_data):
+            prefix = f"{clip['vid']}_{clip['time'][0]:.2f}_{clip['time'][1]:.2f}"
+            if samples is not None and not any(
+                clip["vid"] in s for s in samples
+            ):
+                continue
+            if samples is not None and prefix not in samples:
+                continue
+            vid_idx = int(rng.integers(0, n_speakers)) if randomized else 0
+            res = renderer.render_clip(
+                clip["vid"], clip["poses"], clip["audio"], C.AUDIO_SR,
+                clip["words"], clip["time"], speaker_vid_idx=vid_idx,
+                clip_duration_range=data_params["clip_duration_range"],
+                check_duration=check_duration, fade_out=fade_out,
+                make_video=make_video, save_pkl=save_pkl,
+                save_path=save_path,
+                rng=jax.random.key(int(rng.integers(1 << 31))),
+            )
+            if res[0] is not None:
+                results.append((clip["vid"], res))
+    elif dataset.lower() == "genea_challenge_2020":
+        data_path = data_params["data_path"]
+        file_names = sorted(
+            ".wav".join(f.split(".wav")[:-1])
+            for f in os.listdir(jn(data_path, "audio"))
+        )
+        for f in file_names:
+            audio = _load_wav_16k(jn(data_path, "audio", f + ".wav"))
+            _, _, _, joint_positions, _, frame_rate = bvh_mod.load_bvh(
+                jn(data_path, "bvh_raw", f + ".bvh")
+            )
+            # scale to [-1, 1] by decade bounds (ref :1536-1543)
+            jmax = np.power(10.0, np.ceil(np.log10(np.max(joint_positions))))
+            jmin = np.min(joint_positions)
+            jmin = 0.0 if jmin >= 0 else -np.power(
+                10.0, np.ceil(np.log10(np.abs(jmin)))
+            )
+            scaled = 2.0 * (joint_positions - jmin) / (jmax - jmin) - 1.0
+            with open(jn(data_path, "transcripts", f + ".json")) as jf:
+                transcript = []
+                for jd in json.load(jf):
+                    for w in jd["alternatives"][0]["words"]:
+                        transcript.append([
+                            w["word"], float(w["start_time"][:-1]),
+                            float(w["end_time"][:-1]),
+                        ])
+            clip_time = [0.0, len(joint_positions) / np.round(frame_rate)]
+            vid_idx = int(rng.integers(0, 100)) if randomized else 0
+            res = renderer.render_clip(
+                f, scaled[:, GENEA_JOINTS_TO_KEEP], audio, C.AUDIO_SR,
+                transcript, clip_time, speaker_vid_idx=vid_idx,
+                check_duration=check_duration, fade_out=fade_out,
+                make_video=make_video, save_pkl=save_pkl, save_path=save_path,
+            )
+            results.append((f, res))
+    else:
+        raise ValueError(f"unknown dataset {dataset!r}")
+
+    trainer.logger.print_log(
+        f"generate_gestures_by_dataset: {len(results)} clips in "
+        f"{time.time() - start:.2f}s"
+    )
+    return results
+
+
+def _load_wav_16k(path: str) -> np.ndarray:
+    from scipy.io import wavfile
+    from scipy.signal import resample_poly
+
+    sr, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483648.0
+    data = data.mean(axis=1) if data.ndim > 1 else data.astype(np.float32)
+    if sr != C.AUDIO_SR:
+        data = resample_poly(data, C.AUDIO_SR, sr).astype(np.float32)
+    return data
