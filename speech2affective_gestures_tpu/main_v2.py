@@ -97,11 +97,12 @@ def load_datasets(args, cfg: ModelConfig):
     return splits.get("train"), splits.get("val"), splits.get("test")
 
 
-def main(argv=None):
+def main(argv=None, variant: str = "s2ag"):
     args = build_parser().parse_args(argv)
     cfg = ModelConfig.from_yaml(args.config, batch_size=args.batch_size)
 
-    models_s2ag_path = jn(args.base_path, "models", "s2ag_v2_mfcc_tpu")
+    suffix = {"s2ag": "", "abl_audio": "_abl_audio", "abl_aff": "_abl_aff"}[variant]
+    models_s2ag_path = jn(args.base_path, "models", f"s2ag_v2_mfcc_tpu{suffix}")
     work_dir = jn(models_s2ag_path, args.dataset_s2ag)
     os.makedirs(work_dir, exist_ok=True)
     video_save_path = jn(args.base_path, "outputs", args.dataset_test,
@@ -124,6 +125,7 @@ def main(argv=None):
         save_interval=args.save_interval,
         seed=cfg.random_seed,
         evaluator=evaluator,
+        variant=variant,
     )
     trainer.logger.save_arg(vars(args))
 

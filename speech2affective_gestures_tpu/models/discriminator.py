@@ -64,6 +64,57 @@ class ConvDiscriminatorTriModal(nn.Module):
         return nn.sigmoid(out)
 
 
+# The abl_aff ablation's plain ConvDiscriminator is structurally identical
+# to the trimodal conv discriminator (net/multimodal_context_net_v2_abl_aff.py:394-439).
+ConvDiscriminator = ConvDiscriminatorTriModal
+
+
+class AffDiscriminatorV1(nn.Module):
+    """v1 emotion-conditioned discriminator (ref
+    net/multimodal_context_net_v1.py:363-463): the ST-GCN feature path of
+    AffEncoder but WITHOUT the per-(channel,node) batch norms, emotion
+    one-hot concatenated per frame before the GRU."""
+
+    num_emotions: int = 7
+    n_poses: int = C.N_POSES
+    hidden_size: int = 64
+    coords: int = 3
+
+    @nn.compact
+    def __call__(self, poses, in_emo_labels, in_text=None, train: bool = False):
+        from ..ops import graph as graph_ops
+        from .encoders import _regroup_body_parts
+        from .stgcn import STGraphConv
+
+        b, t, jc = poses.shape
+        a1 = jnp.asarray(graph_ops.build_adjacency(
+            C.NUM_BONES, list(C.DIR_EDGE_PAIRS), "spatial", 2), jnp.float32)
+        a2 = jnp.asarray(graph_ops.build_adjacency(
+            len(C.BODY_PARTS_EDGE_IDX), list(C.BODY_PARTS_EDGE_PAIRS),
+            "spatial", 2), jnp.float32)
+        x = poses.reshape(b, t, jc // self.coords, self.coords)
+        feat1 = STGraphConv(16, a1.shape[0], (9, 5), padding=(4, 2),
+                            name="st_gcn1")(x, a1, train=train)
+        feat2_in = _regroup_body_parts(feat1)
+        feat2 = STGraphConv(16, a2.shape[0], (9, 3), padding=(4, 1),
+                            name="st_gcn2")(feat2_in, a2, train=train)
+        feat3 = jnp.swapaxes(feat2, -1, -2).reshape(b, t, -1)
+        y = L.Conv1d(16, 5, padding=2, name="conv1")(feat3)
+        y = L.BatchNorm(16, name="bn1")(y, use_running_average=not train)
+        y = nn.relu(y)
+        y = L.Conv1d(8, 3, padding=1, name="conv2")(y)
+        y = L.BatchNorm(8, name="bn2")(y, use_running_average=not train)
+        y = nn.relu(y)
+        emo = jnp.repeat(in_emo_labels[:, None, :], self.n_poses, axis=1)
+        y = jnp.concatenate([y, emo], axis=-1)
+        out, _ = L.GRU(self.hidden_size, num_layers=4, bidirectional=True,
+                       dropout=0.3, name="gru")(y, deterministic=not train)
+        out = L.sum_bidirectional(out, self.hidden_size)
+        out = L.Linear(1, name="out")(out)[..., 0]
+        out = L.Linear(1, name="out2")(out)
+        return nn.sigmoid(out)
+
+
 class DiscriminatorTriModal(nn.Module):
     """GRU discriminator with optional text conditioning
     (ref net/multimodal_context_net_v2.py:346-387)."""

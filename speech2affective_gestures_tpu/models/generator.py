@@ -70,20 +70,31 @@ class PoseGenerator(nn.Module):
     z_type: str = "speaker"         # speaker | random | none
     n_speakers: int = 1
     z_size: int = 16
+    # paper ablations (net/multimodal_context_net_v2_abl_audio.py /
+    # ..._abl_aff.py): 'wav' swaps MFCCEncoder for a raw-waveform WavEncoder;
+    # use_aff_encoder=False feeds the raw pre-pose sequence (pose_dim+1)
+    # instead of the ST-GCN affective features.
+    audio_encoder_type: str = "mfcc"   # mfcc | wav
+    use_aff_encoder: bool = True
 
     @nn.compact
     def __call__(self, pre_seq, in_text, in_mfcc, vid_indices=None,
                  train: bool = False):
         feats = []
-        pre_feat = AffEncoder(name="aff_encoder")(pre_seq[..., :-1], train=train)
+        if self.use_aff_encoder:
+            pre_feat = AffEncoder(name="aff_encoder")(pre_seq[..., :-1], train=train)
+        else:
+            pre_feat = pre_seq  # abl_aff: raw seed poses + constraint bit
         feats.append(pre_feat)
 
         if self.input_context in ("both", "audio"):
-            feats.append(
-                MFCCEncoder(time_steps=self.time_steps, name="audio_encoder")(
-                    in_mfcc, train=train
-                )
-            )
+            if self.audio_encoder_type == "mfcc":
+                audio_feat = MFCCEncoder(
+                    time_steps=self.time_steps, name="audio_encoder"
+                )(in_mfcc, train=train)
+            else:  # abl_audio: in_mfcc carries the raw waveform
+                audio_feat = WavEncoder(name="audio_encoder")(in_mfcc, train=train)
+            feats.append(audio_feat)
         if self.input_context in ("both", "text"):
             text_feat, _ = TextEncoderTCN(
                 n_words=self.n_words,
@@ -189,5 +200,69 @@ class PoseGeneratorTriModal(nn.Module):
         out = L.Linear(self.hidden_size // 2, name="out1")(out)
         # reference: nn.LeakyReLU(True) => negative_slope=1.0 => identity
         out = L.leaky_relu(out, 1.0)
+        out = L.Linear(self.pose_dim, name="out2")(out)
+        return out, z_context, z_mu, z_log_var
+
+
+class PoseGeneratorV1(nn.Module):
+    """v1 emotion-conditioned generator (ref net/multimodal_context_net_v1.py
+    :307-360): WavEncoder + text TCN + raw seed poses, with the predicted
+    emotion one-hot concatenated onto the speaker z before broadcasting."""
+
+    pose_dim: int = C.POSE_DIM
+    num_emotions: int = 7
+    n_words: int = 1000
+    word_embed_size: int = 300
+    word_embeddings: np.ndarray | None = None
+    freeze_embedding: bool = False
+    hidden_size: int = 300
+    n_layers: int = 4
+    dropout_prob: float = 0.3
+    input_context: str = "both"
+    z_type: str = "speaker"
+    n_speakers: int = 1
+    z_size: int = 16
+
+    @nn.compact
+    def __call__(self, pre_seq, in_text, in_audio, in_emo_labels,
+                 vid_indices=None, train: bool = False):
+        feats = [pre_seq]
+        if self.input_context in ("both", "audio"):
+            feats.append(WavEncoder(name="audio_encoder")(in_audio, train=train))
+        if self.input_context in ("both", "text"):
+            text_feat, _ = TextEncoderTCN(
+                n_words=self.n_words,
+                embed_size=self.word_embed_size,
+                hidden_size=self.hidden_size,
+                n_layers=self.n_layers,
+                dropout=self.dropout_prob,
+                word_embeddings=self.word_embeddings,
+                freeze_embedding=self.freeze_embedding,
+                name="text_encoder",
+            )(in_text, train=train)
+            feats.append(text_feat)
+        in_data = jnp.concatenate(feats, axis=-1)
+
+        z_context = z_mu = z_log_var = None
+        if self.z_type == "speaker":
+            z_context, z_mu, z_log_var = SpeakerZ(
+                self.n_speakers, self.z_size, name="speaker_z"
+            )(vid_indices)
+        elif self.z_type == "random":
+            z_context = jax.random.normal(
+                self.make_rng("noise"), (in_text.shape[0], self.z_size)
+            )
+        # emotion conditioning (ref :337-338)
+        z_context = jnp.concatenate([z_context, in_emo_labels], axis=-1)
+        z_rep = jnp.repeat(z_context[:, None, :], in_data.shape[1], axis=1)
+        in_data = jnp.concatenate([in_data, z_rep], axis=-1)
+
+        out, _ = L.GRU(
+            self.hidden_size, num_layers=self.n_layers, bidirectional=True,
+            dropout=self.dropout_prob, name="gru",
+        )(in_data, deterministic=not train)
+        out = L.sum_bidirectional(out, self.hidden_size)
+        out = L.Linear(self.hidden_size // 2, name="out1")(out)
+        out = L.leaky_relu(out, 0.01)
         out = L.Linear(self.pose_dim, name="out2")(out)
         return out, z_context, z_mu, z_log_var

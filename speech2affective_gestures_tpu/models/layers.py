@@ -413,6 +413,81 @@ class GRU(nn.Module):
         return out, jnp.stack(finals, axis=0)
 
 
+class LSTM(nn.Module):
+    """Multi-layer (optionally bidirectional) LSTM, torch cell semantics:
+    gates ordered (i, f, g, o); same hoisted-input-projection + scan design
+    as GRU. Returns (outputs, (h_last, c_last) stacked over layer*dir)."""
+
+    hidden_size: int
+    num_layers: int = 1
+    bidirectional: bool = False
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        num_dir = 2 if self.bidirectional else 1
+        hsz = self.hidden_size
+
+        def direction_pass(inputs, layer, direction):
+            tag = f"l{layer}" + ("_rev" if direction else "")
+            cin = inputs.shape[-1]
+            bound = 1.0 / math.sqrt(hsz)
+            w_ih = self.param(f"w_ih_{tag}", torch_uniform(bound), (cin, 4 * hsz))
+            w_hh = self.param(f"w_hh_{tag}", torch_uniform(bound), (hsz, 4 * hsz))
+            b_ih = self.param(f"b_ih_{tag}", torch_uniform(bound), (4 * hsz,))
+            b_hh = self.param(f"b_hh_{tag}", torch_uniform(bound), (4 * hsz,))
+
+            xp = jnp.matmul(inputs, w_ih) + b_ih
+            xp = jnp.swapaxes(xp, 0, 1)
+            if direction:
+                xp = jnp.flip(xp, axis=0)
+            h0 = jnp.zeros((inputs.shape[0], hsz), inputs.dtype)
+            c0 = jnp.zeros((inputs.shape[0], hsz), inputs.dtype)
+
+            def cell(carry, xp_t):
+                h, c = carry
+                gates = xp_t + jnp.matmul(h, w_hh) + b_hh
+                i = jax.nn.sigmoid(gates[:, :hsz])
+                f = jax.nn.sigmoid(gates[:, hsz : 2 * hsz])
+                g = jnp.tanh(gates[:, 2 * hsz : 3 * hsz])
+                o = jax.nn.sigmoid(gates[:, 3 * hsz :])
+                c_new = f * c + i * g
+                h_new = o * jnp.tanh(c_new)
+                return (h_new, c_new), h_new
+
+            (h_last, c_last), ys = jax.lax.scan(cell, (h0, c0), xp)
+            if direction:
+                ys = jnp.flip(ys, axis=0)
+            return jnp.swapaxes(ys, 0, 1), (h_last, c_last)
+
+        out = x
+        h_finals, c_finals = [], []
+        for layer in range(self.num_layers):
+            outs = []
+            for direction in range(num_dir):
+                y, (h_last, c_last) = direction_pass(out, layer, direction)
+                outs.append(y)
+                h_finals.append(h_last)
+                c_finals.append(c_last)
+            out = jnp.concatenate(outs, axis=-1) if num_dir == 2 else outs[0]
+            if self.dropout > 0.0 and layer < self.num_layers - 1:
+                out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
+        return out, (jnp.stack(h_finals, 0), jnp.stack(c_finals, 0))
+
+
+class MaxPool2d(nn.Module):
+    """Torch-style max pool on NHWC with stride == kernel (floor mode)."""
+
+    kernel: tuple[int, int]
+
+    def __call__(self, x):
+        kh, kw = self.kernel
+        b, h, w, c = x.shape
+        x = x[:, : (h // kh) * kh, : (w // kw) * kw, :]
+        x = x.reshape(b, h // kh, kh, w // kw, kw, c)
+        return x.max(axis=(2, 4))
+
+
 class Dropout(nn.Dropout):
     pass
 

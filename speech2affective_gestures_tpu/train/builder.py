@@ -14,7 +14,9 @@ import numpy as np
 
 from .. import constants as C
 from ..config import ModelConfig
-from ..models.discriminator import AffDiscriminator, ConvDiscriminatorTriModal
+from ..models.discriminator import (
+    AffDiscriminator, ConvDiscriminator, ConvDiscriminatorTriModal,
+)
 from ..models.generator import PoseGenerator, PoseGeneratorTriModal
 from .gan_step import GanConfig, TrainState, create_train_state, make_train_step
 
@@ -25,7 +27,10 @@ def build_models(
     n_speakers: int,
     word_embeddings: np.ndarray | None = None,
     pose_dim: int = C.POSE_DIM,
+    variant: str = "s2ag",
 ):
+    """variant in {'s2ag', 'abl_audio', 'abl_aff'} — the paper model and its
+    two ablations (main_v2_abl_audio.py / main_v2_abl_aff.py)."""
     gen = PoseGenerator(
         pose_dim=pose_dim,
         n_words=n_words,
@@ -41,8 +46,13 @@ def build_models(
         input_context=cfg.input_context,
         z_type=cfg.z_type,
         n_speakers=n_speakers,
+        audio_encoder_type="wav" if variant == "abl_audio" else "mfcc",
+        use_aff_encoder=(variant != "abl_aff"),
     )
-    dis = AffDiscriminator(n_poses=cfg.n_poses)
+    if variant == "abl_aff":
+        dis = ConvDiscriminator()
+    else:
+        dis = AffDiscriminator(n_poses=cfg.n_poses)
     tri = PoseGeneratorTriModal(
         pose_dim=pose_dim,
         n_words=n_words,
@@ -83,17 +93,20 @@ def init_training(
     n_speakers: int = 100,
     word_embeddings: np.ndarray | None = None,
     with_trimodal: bool = True,
+    variant: str = "s2ag",
 ):
     """Build modules, init variables, create TrainState + step fns."""
-    gen, dis, tri = build_models(cfg, n_words, n_speakers, word_embeddings)
+    gen, dis, tri = build_models(cfg, n_words, n_speakers, word_embeddings,
+                                 variant=variant)
     batch = synthetic_batch(np.random.default_rng(0), 2, cfg, n_words, n_speakers)
     pre_seq = jnp.zeros((2, cfg.n_poses, C.POSE_DIM + 1), jnp.float32)
+    gen_audio_key = "audio" if variant == "abl_audio" else "mfcc_features"
 
     k1, k2, k3, kn = jax.random.split(rng, 4)
     gen_vars = gen.init(
         {"params": k1, "noise": kn},
         pre_seq, jnp.asarray(batch["extended_word_seq"]),
-        jnp.asarray(batch["mfcc_features"]), jnp.asarray(batch["vid_indices"]),
+        jnp.asarray(batch[gen_audio_key]), jnp.asarray(batch["vid_indices"]),
     )
     dis_vars = dis.init(k2, jnp.asarray(batch["vec_seq"]))
     tri_vars = None
@@ -114,6 +127,7 @@ def init_training(
         discriminator_lr_weight=cfg.discriminator_lr_weight,
         z_type=cfg.z_type,
         n_pre_poses=cfg.n_pre_poses,
+        generator_input=gen_audio_key,
     )
     state = create_train_state(gen_vars, dis_vars, gan_cfg, tri_vars)
     train_step, eval_step = make_train_step(

@@ -46,6 +46,9 @@ class GanConfig:
     discriminator_lr_weight: float = 0.2
     z_type: str = "speaker"
     n_pre_poses: int = C.N_PRE_POSES
+    # which batch field feeds the generator's audio input: 'mfcc_features'
+    # for the paper model, 'audio' for the abl_audio WavEncoder ablation
+    generator_input: str = "mfcc_features"
 
     @property
     def lr_dis(self) -> float:
@@ -136,7 +139,7 @@ def make_train_step(
                    gan_on: bool = True):
         in_text = batch["extended_word_seq"]
         target = batch["vec_seq"]
-        in_mfcc = batch["mfcc_features"]
+        in_mfcc = batch[cfg.generator_input]
         in_audio = batch.get("audio")
         vids = batch.get("vid_indices")
         pre_seq = build_pre_seq(target, cfg.n_pre_poses)
@@ -243,7 +246,7 @@ def make_train_step(
         no updates), same loss stack; ref per_val_epoch processor_v2.py:993-1030."""
         in_text = batch["extended_word_seq"]
         target = batch["vec_seq"]
-        in_mfcc = batch["mfcc_features"]
+        in_mfcc = batch[cfg.generator_input]
         in_audio = batch.get("audio")
         vids = batch.get("vid_indices")
         pre_seq = build_pre_seq(target, cfg.n_pre_poses)

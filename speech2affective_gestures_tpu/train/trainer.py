@@ -85,6 +85,7 @@ class Trainer:
         save_interval: int = 10,
         seed: int = 1234,
         evaluator: EmbeddingSpaceEvaluator | None = None,
+        variant: str = "s2ag",
     ):
         self.cfg = cfg
         self.work_dir = work_dir
@@ -106,7 +107,9 @@ class Trainer:
         setup = builder.init_training(
             cfg, jax.random.key(max(seed, 0)), n_words=n_words,
             n_speakers=n_speakers, word_embeddings=word_embeddings,
+            variant=variant,
         )
+        self.variant = variant
         self.gen, self.dis, self.tri = setup["gen"], setup["dis"], setup["tri"]
         self.state = setup["state"]
         self.train_step = setup["train_step"]
