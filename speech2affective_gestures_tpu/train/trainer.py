@@ -234,6 +234,19 @@ class Trainer:
         )
         self.logger.print_log(f"converted torch checkpoint {path}")
 
+    def load_trimodal_torch_checkpoint(self, path: str):
+        """Ingest the frozen TriModal baseline weights
+        (outputs/trimodal_gen.pth.tar, key 'trimodal_gen_dict';
+        ref processor_v2.py:1033-1034)."""
+        from ..convert import torch_ckpt
+
+        blob = torch_ckpt.load_pth_tar(path)
+        params, stats = torch_ckpt.pose_generator_trimodal(
+            blob["trimodal_gen_dict"]
+        )
+        self.state = self.state.replace(tri_params=params, tri_stats=stats)
+        self.logger.print_log(f"converted trimodal checkpoint {path}")
+
     # ------------------------------------------------------------- eval
     def generate_gestures(self, batch_size: int = 2048, randomized: bool = True,
                           seed: int = 0) -> dict[str, Any]:
