@@ -187,6 +187,73 @@ class BatchSampler:
             yield batch
 
 
+class DeviceDataset:
+    """Packed arrays resident on device with a jitted batch gather.
+
+    The reference re-uploads every batch from host RAM
+    (yield_batch, processor_v2.py:602-621). Here the whole split lives in
+    HBM once (audio as int16, MFCC as f16 — the reference's own compact
+    dtypes) and a compiled gather assembles each batch on device; the host
+    only supplies the (B,) index vector per step.
+    """
+
+    def __init__(self, dataset: PackedDataset, include_audio: bool = True):
+        import jax
+        import jax.numpy as jnp
+
+        self.ds = dataset
+        self.include_audio = include_audio
+        arrays = {
+            "extended_word_seq": dataset.extended_word_seq.astype(np.int32),
+            "vec_seq": dataset.vec_seq.astype(np.float32),
+            "mfcc_features": dataset.mfcc_features,  # f16 in HBM
+        }
+        if include_audio:
+            arrays["audio"] = dataset.audio  # int16 in HBM
+            arrays["audio_max"] = dataset.audio_max.astype(np.float32)
+        self.arrays = {k: jax.device_put(jnp.asarray(v))
+                       for k, v in arrays.items()}
+
+        def gather(arrays, idx, adv_vids):
+            batch = {
+                "extended_word_seq": arrays["extended_word_seq"][idx],
+                "vec_seq": arrays["vec_seq"][idx],
+                "mfcc_features": arrays["mfcc_features"][idx].astype(jnp.float32),
+                "vid_indices": adv_vids,
+            }
+            if "audio" in arrays:
+                batch["audio"] = (
+                    arrays["audio"][idx].astype(jnp.float32)
+                    * arrays["audio_max"][idx, None] / 32767.0
+                )
+            return batch
+
+        self._gather = jax.jit(gather)
+
+    def batch(self, idx: np.ndarray, adv_vids: np.ndarray) -> dict:
+        import jax.numpy as jnp
+
+        return self._gather(self.arrays, jnp.asarray(idx, jnp.int32),
+                            jnp.asarray(adv_vids, jnp.int32))
+
+
+class DeviceBatchSampler(BatchSampler):
+    """BatchSampler whose payload gather runs on device (host supplies only
+    indices + adversarial speaker ids)."""
+
+    def __init__(self, dataset: PackedDataset, batch_size: int, seed: int = 1234,
+                 device_dataset: DeviceDataset | None = None,
+                 include_audio: bool = True):
+        super().__init__(dataset, batch_size, seed)
+        self.device_ds = device_dataset or DeviceDataset(dataset, include_audio)
+
+    def __iter__(self) -> Iterator[dict]:
+        for _ in range(self.pseudo_passes()):
+            idx = self.sample_indices()
+            adv = self.adversarial_speakers(self.ds.vid_indices[idx])
+            yield self.device_ds.batch(idx, adv)
+
+
 # --------------------------------------------------------------------------
 # sample records -> packed arrays (ref save_cache, processor_v2.py:273-341)
 # --------------------------------------------------------------------------

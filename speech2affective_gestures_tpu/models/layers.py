@@ -366,48 +366,63 @@ class GRU(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         num_dir = 2 if self.bidirectional else 1
+        hsz = self.hidden_size
+        bound = 1.0 / math.sqrt(hsz)
 
-        def direction_pass(inputs, layer, direction):
-            tag = f"l{layer}" + ("_rev" if direction else "")
+        def layer_pass(inputs, layer):
+            """One (bi)directional layer as a SINGLE scan.
+
+            Both directions run in the same scan with a leading direction
+            axis (the backward copy consumes time-reversed inputs), so the
+            recurrent update is one batched einsum per step instead of two
+            sequential scans — same math, half the sequential launches.
+            """
             cin = inputs.shape[-1]
-            bound = 1.0 / math.sqrt(self.hidden_size)
-            w_ih = self.param(f"w_ih_{tag}", torch_uniform(bound), (cin, 3 * self.hidden_size))
-            w_hh = self.param(
-                f"w_hh_{tag}", torch_uniform(bound), (self.hidden_size, 3 * self.hidden_size)
-            )
-            b_ih = self.param(f"b_ih_{tag}", torch_uniform(bound), (3 * self.hidden_size,))
-            b_hh = self.param(f"b_hh_{tag}", torch_uniform(bound), (3 * self.hidden_size,))
+            tags = [f"l{layer}"] + ([f"l{layer}_rev"] if num_dir == 2 else [])
+            w_ih = [self.param(f"w_ih_{t}", torch_uniform(bound), (cin, 3 * hsz))
+                    for t in tags]
+            w_hh = jnp.stack([
+                self.param(f"w_hh_{t}", torch_uniform(bound), (hsz, 3 * hsz))
+                for t in tags
+            ])  # (D, H, 3H)
+            b_ih = [self.param(f"b_ih_{t}", torch_uniform(bound), (3 * hsz,))
+                    for t in tags]
+            b_hh = jnp.stack([
+                self.param(f"b_hh_{t}", torch_uniform(bound), (3 * hsz,))
+                for t in tags
+            ])  # (D, 3H)
 
-            xp = jnp.matmul(inputs, w_ih) + b_ih  # (B, T, 3H) — one big matmul
-            xp = jnp.swapaxes(xp, 0, 1)  # time-major for scan
-            if direction:
-                xp = jnp.flip(xp, axis=0)
+            # hoisted input projections: one big (B*T, C) @ (C, 3H) per dir
+            xps = []
+            for d in range(num_dir):
+                xp = jnp.matmul(inputs, w_ih[d]) + b_ih[d]
+                xp = jnp.swapaxes(xp, 0, 1)  # (T, B, 3H)
+                xps.append(jnp.flip(xp, axis=0) if d else xp)
+            xp = jnp.stack(xps, axis=1)  # (T, D, B, 3H)
 
-            h0 = jnp.zeros((inputs.shape[0], self.hidden_size), inputs.dtype)
-            hsz = self.hidden_size
+            h0 = jnp.zeros((num_dir, inputs.shape[0], hsz), inputs.dtype)
 
             def cell(h, xp_t):
-                hp = jnp.matmul(h, w_hh) + b_hh
-                r = jax.nn.sigmoid(xp_t[:, :hsz] + hp[:, :hsz])
-                z = jax.nn.sigmoid(xp_t[:, hsz : 2 * hsz] + hp[:, hsz : 2 * hsz])
-                n = jnp.tanh(xp_t[:, 2 * hsz :] + r * hp[:, 2 * hsz :])
+                hp = jnp.einsum("dbh,dhk->dbk", h, w_hh) + b_hh[:, None, :]
+                r = jax.nn.sigmoid(xp_t[..., :hsz] + hp[..., :hsz])
+                z = jax.nn.sigmoid(
+                    xp_t[..., hsz : 2 * hsz] + hp[..., hsz : 2 * hsz]
+                )
+                n = jnp.tanh(xp_t[..., 2 * hsz :] + r * hp[..., 2 * hsz :])
                 h_new = (1.0 - z) * n + z * h
                 return h_new, h_new
 
-            h_last, ys = jax.lax.scan(cell, h0, xp)
-            if direction:
-                ys = jnp.flip(ys, axis=0)
-            return jnp.swapaxes(ys, 0, 1), h_last  # (B, T, H), (B, H)
+            h_last, ys = jax.lax.scan(cell, h0, xp)  # ys (T, D, B, H)
+            outs = [jnp.swapaxes(ys[:, 0], 0, 1)]
+            if num_dir == 2:
+                outs.append(jnp.swapaxes(jnp.flip(ys[:, 1], axis=0), 0, 1))
+            return jnp.concatenate(outs, axis=-1), h_last  # (B,T,D*H), (D,B,H)
 
         out = x
         finals = []
         for layer in range(self.num_layers):
-            outs = []
-            for direction in range(num_dir):
-                y, h_last = direction_pass(out, layer, direction)
-                outs.append(y)
-                finals.append(h_last)
-            out = jnp.concatenate(outs, axis=-1) if num_dir == 2 else outs[0]
+            out, h_last = layer_pass(out, layer)
+            finals.extend(h_last[d] for d in range(num_dir))
             if self.dropout > 0.0 and layer < self.num_layers - 1:
                 out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
         return out, jnp.stack(finals, axis=0)
@@ -427,49 +442,58 @@ class LSTM(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         num_dir = 2 if self.bidirectional else 1
         hsz = self.hidden_size
+        bound = 1.0 / math.sqrt(hsz)
 
-        def direction_pass(inputs, layer, direction):
-            tag = f"l{layer}" + ("_rev" if direction else "")
+        def layer_pass(inputs, layer):
+            # both directions in one scan (see GRU.layer_pass)
             cin = inputs.shape[-1]
-            bound = 1.0 / math.sqrt(hsz)
-            w_ih = self.param(f"w_ih_{tag}", torch_uniform(bound), (cin, 4 * hsz))
-            w_hh = self.param(f"w_hh_{tag}", torch_uniform(bound), (hsz, 4 * hsz))
-            b_ih = self.param(f"b_ih_{tag}", torch_uniform(bound), (4 * hsz,))
-            b_hh = self.param(f"b_hh_{tag}", torch_uniform(bound), (4 * hsz,))
+            tags = [f"l{layer}"] + ([f"l{layer}_rev"] if num_dir == 2 else [])
+            w_ih = [self.param(f"w_ih_{t}", torch_uniform(bound), (cin, 4 * hsz))
+                    for t in tags]
+            w_hh = jnp.stack([
+                self.param(f"w_hh_{t}", torch_uniform(bound), (hsz, 4 * hsz))
+                for t in tags
+            ])
+            b_ih = [self.param(f"b_ih_{t}", torch_uniform(bound), (4 * hsz,))
+                    for t in tags]
+            b_hh = jnp.stack([
+                self.param(f"b_hh_{t}", torch_uniform(bound), (4 * hsz,))
+                for t in tags
+            ])
 
-            xp = jnp.matmul(inputs, w_ih) + b_ih
-            xp = jnp.swapaxes(xp, 0, 1)
-            if direction:
-                xp = jnp.flip(xp, axis=0)
-            h0 = jnp.zeros((inputs.shape[0], hsz), inputs.dtype)
-            c0 = jnp.zeros((inputs.shape[0], hsz), inputs.dtype)
+            xps = []
+            for d in range(num_dir):
+                xp = jnp.matmul(inputs, w_ih[d]) + b_ih[d]
+                xp = jnp.swapaxes(xp, 0, 1)
+                xps.append(jnp.flip(xp, axis=0) if d else xp)
+            xp = jnp.stack(xps, axis=1)  # (T, D, B, 4H)
+
+            h0 = jnp.zeros((num_dir, inputs.shape[0], hsz), inputs.dtype)
+            c0 = jnp.zeros_like(h0)
 
             def cell(carry, xp_t):
                 h, c = carry
-                gates = xp_t + jnp.matmul(h, w_hh) + b_hh
-                i = jax.nn.sigmoid(gates[:, :hsz])
-                f = jax.nn.sigmoid(gates[:, hsz : 2 * hsz])
-                g = jnp.tanh(gates[:, 2 * hsz : 3 * hsz])
-                o = jax.nn.sigmoid(gates[:, 3 * hsz :])
+                gates = xp_t + jnp.einsum("dbh,dhk->dbk", h, w_hh) + b_hh[:, None, :]
+                i = jax.nn.sigmoid(gates[..., :hsz])
+                f = jax.nn.sigmoid(gates[..., hsz : 2 * hsz])
+                g = jnp.tanh(gates[..., 2 * hsz : 3 * hsz])
+                o = jax.nn.sigmoid(gates[..., 3 * hsz :])
                 c_new = f * c + i * g
                 h_new = o * jnp.tanh(c_new)
                 return (h_new, c_new), h_new
 
             (h_last, c_last), ys = jax.lax.scan(cell, (h0, c0), xp)
-            if direction:
-                ys = jnp.flip(ys, axis=0)
-            return jnp.swapaxes(ys, 0, 1), (h_last, c_last)
+            outs = [jnp.swapaxes(ys[:, 0], 0, 1)]
+            if num_dir == 2:
+                outs.append(jnp.swapaxes(jnp.flip(ys[:, 1], axis=0), 0, 1))
+            return jnp.concatenate(outs, axis=-1), (h_last, c_last)
 
         out = x
         h_finals, c_finals = [], []
         for layer in range(self.num_layers):
-            outs = []
-            for direction in range(num_dir):
-                y, (h_last, c_last) = direction_pass(out, layer, direction)
-                outs.append(y)
-                h_finals.append(h_last)
-                c_finals.append(c_last)
-            out = jnp.concatenate(outs, axis=-1) if num_dir == 2 else outs[0]
+            out, (h_last, c_last) = layer_pass(out, layer)
+            h_finals.extend(h_last[d] for d in range(num_dir))
+            c_finals.extend(c_last[d] for d in range(num_dir))
             if self.dropout > 0.0 and layer < self.num_layers - 1:
                 out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
         return out, (jnp.stack(h_finals, 0), jnp.stack(c_finals, 0))

@@ -29,7 +29,7 @@ import orbax.checkpoint as ocp
 
 from .. import constants as C
 from ..config import ModelConfig
-from ..data.ted_db import BatchSampler, PackedDataset
+from ..data.ted_db import BatchSampler, DeviceBatchSampler, DeviceDataset, PackedDataset
 from ..parallel import mesh as pmesh
 from . import builder
 from .evaluator import EmbeddingSpaceEvaluator, push_sample_metrics
@@ -123,6 +123,16 @@ class Trainer:
             self.train_step = pmesh.data_parallel_step(self.train_step, self.mesh)
             self.eval_step = pmesh.data_parallel_step(self.eval_step, self.mesh)
 
+        # single-device: keep the packed train split resident in HBM and
+        # gather batches there (no per-step H2D); under a mesh the host
+        # sampler + sharded device_put path is used instead.
+        self._device_train = None
+        if self.mesh is None and train_data is not None:
+            try:
+                self._device_train = DeviceDataset(train_data)
+            except Exception:
+                self._device_train = None
+
         self.rng = jax.random.key(seed if seed >= 0 else int(time.time()))
         self.best_loss = np.inf
         self.best_loss_epoch = 0
@@ -140,10 +150,16 @@ class Trainer:
         return jax.device_put(batch)
 
     def per_train_epoch(self, log_interval: int = 50) -> float:
-        sampler = BatchSampler(
-            self.train_data, self.cfg.batch_size,
-            seed=self.epoch * 7919 + 1,
-        )
+        if self._device_train is not None:
+            sampler = DeviceBatchSampler(
+                self.train_data, self.cfg.batch_size,
+                seed=self.epoch * 7919 + 1, device_dataset=self._device_train,
+            )
+        else:
+            sampler = BatchSampler(
+                self.train_data, self.cfg.batch_size,
+                seed=self.epoch * 7919 + 1,
+            )
         gan_on = self.epoch > self.gan_cfg.loss_warmup
         total, n = 0.0, 0
         start = time.time()
