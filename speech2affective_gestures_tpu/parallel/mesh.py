@@ -78,3 +78,37 @@ def _is_sharded(x, mesh: Mesh) -> bool:
         return getattr(x, "sharding", None) is not None and x.sharding.mesh == mesh
     except Exception:
         return False
+
+
+# --------------------------------------------------------------------------
+# 2-D mesh: data + model axes
+# --------------------------------------------------------------------------
+
+def make_mesh_2d(n_data: int, n_model: int, devices=None) -> Mesh:
+    """(data, model) mesh. The models here are small enough that pure DP is
+    optimal (SURVEY §2.7), but the embedding tables (fastText vocab x 300 —
+    the bulk of the parameters) shard cleanly over a 'model' axis; this mesh
+    exercises that hybrid layout (and is what dryrun_multichip compiles)."""
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= n_data * n_model
+    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+def shard_params_2d(tree, mesh: Mesh, min_rows: int = 1024):
+    """Shard large 2-D tables row-wise over 'model'; replicate the rest.
+
+    Row-sharding an embedding table is safe under jit: gathers become
+    all-gather-free partial lookups + collective combine, inserted by XLA.
+    """
+    rep = NamedSharding(mesh, P())
+    row_sharded = NamedSharding(mesh, P("model", None))
+
+    def place(x):
+        if hasattr(x, "ndim") and x.ndim == 2 and x.shape[0] >= min_rows \
+                and x.shape[0] % mesh.shape["model"] == 0:
+            return jax.device_put(x, row_sharded)
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(place, tree)

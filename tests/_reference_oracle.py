@@ -44,3 +44,30 @@ def reference_tgcn():
 
 def reference_tcn():
     return load("net/tcn.py", "_ref_tcn")
+
+
+def reference_v2_nets():
+    """Import the reference's full v2 model file.
+
+    It transitively imports librosa/fasttext (never called on the model
+    path) and hard-codes `.cuda()` in AffEncoder init — stub the former,
+    no-op the latter, and expose the package-style module names it expects.
+    """
+    import types
+
+    import torch
+
+    for name in ("librosa", "librosa.feature", "fasttext"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["librosa"].feature = sys.modules["librosa.feature"]
+    torch.Tensor.cuda = lambda self, *a, **k: self
+
+    if str(REFERENCE_ROOT) not in sys.path:
+        sys.path.insert(0, str(REFERENCE_ROOT))
+    try:
+        import importlib
+
+        return importlib.import_module("net.multimodal_context_net_v2")
+    except Exception:
+        return None

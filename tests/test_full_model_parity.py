@@ -1,0 +1,173 @@
+"""End-to-end converted-checkpoint parity against the reference's OWN v2
+models (net/multimodal_context_net_v2.py, imported with librosa stubbed and
+.cuda() no-op'd).
+
+This is the strongest parity gate in the suite: random-initialized reference
+modules are converted through convert/torch_ckpt and must reproduce the
+reference outputs in eval mode (speaker-z reparametrization made
+deterministic on both sides: z = mu).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from speech2affective_gestures_tpu import constants as C
+from speech2affective_gestures_tpu.convert import torch_ckpt as ck
+from speech2affective_gestures_tpu.models import discriminator as D
+from speech2affective_gestures_tpu.models import generator as G
+
+from _reference_oracle import reference_v2_nets
+
+ref = reference_v2_nets()
+pytestmark = pytest.mark.skipif(ref is None, reason="reference v2 nets not importable")
+
+HI = jax.default_matmul_precision("highest")
+torch.manual_seed(11)
+
+N_WORDS, N_SPK = 120, 9
+
+
+class _Args:
+    n_pre_poses = 4
+    n_poses = 34
+    hidden_size = 300
+    hidden_size_s2eg = 300
+    n_layers = 4
+    dropout_prob = 0.3
+    input_context = "both"
+    freeze_wordembed = False
+
+
+class _FakeVocab:
+    n_words = N_SPK
+
+
+_FakeVocab.__name__ = "Vocab"  # reference checks __class__.__name__
+
+
+def _randomize_bn_stats(module):
+    for m in module.modules():
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            m.running_mean.data.normal_(0, 0.2)
+            m.running_var.data.uniform_(0.6, 1.4)
+
+
+def _word_table(rng):
+    return rng.standard_normal((N_WORDS, 300)).astype(np.float32)
+
+
+def _deterministic_z(monkeypatch):
+    """Make both sides' reparametrization return mu."""
+    import net.embedding_net as ref_en
+
+    monkeypatch.setattr(ref_en, "re_parametrize", lambda mu, log_var: mu)
+    monkeypatch.setattr(G, "re_parametrize", lambda mu, log_var, rng: mu)
+
+
+def _inputs(rng, batch=2):
+    pre_seq = np.zeros((batch, 34, 28), np.float32)
+    pre_seq[:, :4, :27] = rng.standard_normal((batch, 4, 27)) * 0.1
+    pre_seq[:, :4, -1] = 1
+    text = rng.integers(0, N_WORDS, (batch, 34))
+    mfcc = rng.standard_normal((batch, 37, 71)).astype(np.float32)
+    audio = (rng.standard_normal((batch, C.EXPECTED_AUDIO_LENGTH)) * 0.1).astype(np.float32)
+    vids = rng.integers(0, N_SPK, (batch,))
+    return pre_seq, text, mfcc, audio, vids
+
+
+def test_pose_generator_full_parity(rng, monkeypatch):
+    _deterministic_z(monkeypatch)
+    table = _word_table(rng)
+    tmod = ref.PoseGenerator(_Args, 27, N_WORDS, 300, table,
+                             mfcc_length=71, num_mfcc=37, time_steps=34,
+                             z_obj=_FakeVocab())
+    tmod.eval()
+    _randomize_bn_stats(tmod)
+    pre_seq, text, mfcc, _, vids = _inputs(rng)
+    with torch.no_grad():
+        want, want_z, *_ = tmod(
+            torch.from_numpy(pre_seq), torch.from_numpy(text).long(),
+            torch.from_numpy(mfcc), torch.from_numpy(vids).long(),
+        )
+
+    sd = {k: v.detach().numpy() for k, v in tmod.state_dict().items()}
+    params, stats = ck.pose_generator(sd)
+    mod = G.PoseGenerator(n_words=N_WORDS, word_embeddings=table,
+                          n_speakers=N_SPK)
+    with HI:
+        got, got_z, *_ = mod.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(pre_seq), jnp.asarray(text.astype(np.int32)),
+            jnp.asarray(mfcc), jnp.asarray(vids.astype(np.int32)),
+            train=False, rngs={"noise": jax.random.key(0)},
+        )
+    np.testing.assert_allclose(np.asarray(got_z), want_z.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_aff_discriminator_full_parity(rng):
+    tmod = ref.AffDiscriminator(27)
+    tmod.eval()
+    _randomize_bn_stats(tmod)
+    poses = rng.standard_normal((2, 34, 27)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        want = tmod(torch.from_numpy(poses)).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in tmod.state_dict().items()}
+    params, stats = ck.aff_discriminator(sd)
+    mod = D.AffDiscriminator()
+    with HI:
+        got = mod.apply({"params": params, "batch_stats": stats},
+                        jnp.asarray(poses), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+
+def test_trimodal_generator_full_parity(rng, monkeypatch):
+    _deterministic_z(monkeypatch)
+    table = _word_table(rng)
+    tmod = ref.PoseGeneratorTriModal(_Args, 27, N_WORDS, 300, table,
+                                     z_obj=_FakeVocab())
+    tmod.eval()
+    _randomize_bn_stats(tmod)
+    pre_seq, text, _, audio, vids = _inputs(rng)
+    with torch.no_grad():
+        want, *_ = tmod(
+            torch.from_numpy(pre_seq), torch.from_numpy(text).long(),
+            torch.from_numpy(audio), torch.from_numpy(vids).long(),
+        )
+
+    sd = {k: v.detach().numpy() for k, v in tmod.state_dict().items()}
+    params, stats = ck.pose_generator_trimodal(sd)
+    mod = G.PoseGeneratorTriModal(n_words=N_WORDS, word_embeddings=table,
+                                  n_speakers=N_SPK)
+    with HI:
+        got, *_ = mod.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(pre_seq), jnp.asarray(text.astype(np.int32)),
+            jnp.asarray(audio), jnp.asarray(vids.astype(np.int32)),
+            train=False, rngs={"noise": jax.random.key(0)},
+        )
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_conv_discriminator_trimodal_full_parity(rng):
+    tmod = ref.ConvDiscriminatorTriModal(27)
+    tmod.eval()
+    _randomize_bn_stats(tmod)
+    poses = rng.standard_normal((2, 34, 27)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        want = tmod(torch.from_numpy(poses)).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in tmod.state_dict().items()}
+    params, stats = ck.conv_discriminator_trimodal(sd)
+    mod = D.ConvDiscriminatorTriModal()
+    with HI:
+        got = mod.apply({"params": params, "batch_stats": stats},
+                        jnp.asarray(poses), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
