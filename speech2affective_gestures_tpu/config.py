@@ -75,8 +75,20 @@ class ModelConfig:
     def from_yaml(cls, path: str | pathlib.Path, **overrides: Any) -> "ModelConfig":
         with open(path) as f:
             raw = yaml.safe_load(f) or {}
-        fields = {f.name for f in dataclasses.fields(cls)}
-        known = {k: v for k, v in raw.items() if k in fields}
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        known = {}
+        for k, v in raw.items():
+            if k not in fields:
+                continue
+            # YAML 1.1 reads exponent literals without a dot ('5e-4') as
+            # strings; coerce scalars to the dataclass field's type.
+            default = fields[k].default
+            if isinstance(default, float) and isinstance(v, (str, int)):
+                v = float(v)
+            elif isinstance(default, int) and not isinstance(default, bool) \
+                    and isinstance(v, str):
+                v = int(float(v))
+            known[k] = v
         known.update(overrides)
         cfg = cls(**known)
         cfg.mean_dir_vec = tuple(np.asarray(cfg.mean_dir_vec, np.float32).reshape(-1))

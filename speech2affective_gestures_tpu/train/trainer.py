@@ -271,6 +271,10 @@ class Trainer:
         ds = self.test_data
         rng = np.random.default_rng(seed)
         n = min(batch_size, ds.n_samples)
+        if self.mesh is not None:
+            # batch must divide the data axis; round down (mesh >= 2 devices)
+            n_dev = self.mesh.shape.get("data", len(self.mesh.devices))
+            n = max(n_dev, (n // n_dev) * n_dev)
         idx = (rng.choice(ds.n_samples, n, replace=False) if randomized
                else np.arange(n))
         batch = {
