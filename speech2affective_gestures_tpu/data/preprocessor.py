@@ -31,7 +31,7 @@ import numpy as np
 from scipy.interpolate import interp1d
 
 from .. import constants as C
-from ..ops import dsp_ref
+from ..ops import dsp_native, dsp_ref
 from . import motion_filter
 
 
@@ -110,6 +110,7 @@ class DataPreprocessor:
             math.floor((len(clip_skeleton) - self.n_poses) / self.subdivision_stride)
             + 1
         )
+        pending = []  # windows awaiting batched MFCC
         for i in range(num_subdivision):
             start_idx = i * self.subdivision_stride
             fin_idx = start_idx + self.n_poses
@@ -142,10 +143,6 @@ class DataPreprocessor:
             else:
                 sample_audio = clip_audio_raw[a_start:a_end]
 
-            sample_mfcc = dsp_ref.get_mfcc_features(
-                sample_audio, sr=C.AUDIO_SR, num_mfcc=self.num_mfcc
-            )
-
             skeletons, message = motion_filter.filter_motion(
                 sample_skeletons, self.mean_pose
             )
@@ -167,8 +164,22 @@ class DataPreprocessor:
             )
             dir_vec = _pose_seq_to_dir_vec_np(poses)
             normalized = dir_vec - self.mean_dir_vec
-            yield [sample_words, poses, normalized, sample_audio,
-                   sample_spectrogram, sample_mfcc, aux_info]
+            pending.append([sample_words, poses, normalized, sample_audio,
+                            sample_spectrogram, None, aux_info])
+
+        # MFCCs for every surviving window of the clip in one native batch
+        # (all windows share audio_sample_length) — the reference instead
+        # runs librosa per window (utils/data_preprocessor.py:140).
+        if pending:
+            batch_audio = np.stack([
+                np.asarray(rec[3], np.float32) for rec in pending
+            ])
+            mfccs = dsp_native.get_mfcc_features_batch(
+                batch_audio, sr=C.AUDIO_SR, num_mfcc=self.num_mfcc
+            )
+            for rec, m in zip(pending, mfccs):
+                rec[5] = m
+                yield rec
 
 
 def _pose_seq_to_dir_vec_np(pose: np.ndarray) -> np.ndarray:
