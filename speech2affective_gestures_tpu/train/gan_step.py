@@ -198,7 +198,10 @@ def make_train_step(
                     aux_metrics["KLD"] = cfg.loss_kld_weight * kld
 
             if gan_on and cfg.loss_gan_weight > 0.0:
-                d_out, dstats_new = dis_fwd(dis_params, dstats, out, in_text, rngs[2])
+                d_out, dstats_new = dis_fwd(
+                    dis_params, dstats, out, in_text,
+                    jax.random.fold_in(rngs[2], 1),
+                )
                 gen_err = losses.gen_ns_gan(d_out)
                 loss = loss + cfg.loss_gan_weight * gen_err
                 aux_metrics["gen"] = cfg.loss_gan_weight * gen_err
