@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import glob
 import os
-import pickle
 import re
 import wave
 from os.path import join as jn

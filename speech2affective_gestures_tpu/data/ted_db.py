@@ -19,7 +19,6 @@ generator for tests/benchmarks) is dependency-free.
 from __future__ import annotations
 
 import dataclasses
-import math
 import os
 import pickle
 from typing import Iterator

@@ -21,8 +21,6 @@ Checkpoint mapping from torch layouts is in `convert/torch_ckpt.py`.
 from __future__ import annotations
 
 import math
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -16,7 +16,6 @@ sites, so the residual is always Conv+BN (never identity) whenever
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -11,7 +11,6 @@ for stride-1 causal convs and avoids materializing + slicing the overhang.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -14,11 +14,9 @@ import numpy as np
 
 from .. import constants as C
 from ..config import ModelConfig
-from ..models.discriminator import (
-    AffDiscriminator, ConvDiscriminator, ConvDiscriminatorTriModal,
-)
+from ..models.discriminator import AffDiscriminator, ConvDiscriminator
 from ..models.generator import PoseGenerator, PoseGeneratorTriModal
-from .gan_step import GanConfig, TrainState, create_train_state, make_train_step
+from .gan_step import GanConfig, create_train_state, make_train_step
 
 
 def build_models(

@@ -19,15 +19,12 @@ TPU-first redesign:
 from __future__ import annotations
 
 import math
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
 from ..config import ModelConfig
-from ..data import ted_db
 from ..data.preprocessor import get_words_in_time_range
 from ..ops import dsp
 

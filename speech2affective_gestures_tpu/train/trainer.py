@@ -27,13 +27,11 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
-from .. import constants as C
 from ..config import ModelConfig
 from ..data.ted_db import BatchSampler, DeviceBatchSampler, DeviceDataset, PackedDataset
 from ..parallel import mesh as pmesh
 from . import builder
 from .evaluator import EmbeddingSpaceEvaluator, push_sample_metrics
-from .gan_step import build_pre_seq
 from .logger import TrainLogger
 from .losses import AverageMeter
 
@@ -86,12 +84,17 @@ class Trainer:
         seed: int = 1234,
         evaluator: EmbeddingSpaceEvaluator | None = None,
         variant: str = "s2ag",
+        check_finite: bool = True,
     ):
         self.cfg = cfg
         self.work_dir = work_dir
         self.logger = TrainLogger(work_dir)
         self.train_data, self.val_data, self.test_data = train_data, val_data, test_data
         self.min_train_epochs = min_train_epochs
+        # numeric sanitizer (the TPU-side analog of the reference's
+        # torch.autograd.detect_anomaly, processor.py:618): halt on a
+        # non-finite loss instead of silently training on garbage
+        self.check_finite = check_finite
         self.val_interval = val_interval
         self.save_interval = save_interval
         self.evaluator = evaluator
@@ -168,6 +171,11 @@ class Trainer:
                 self.state, self._put(batch), self._next_rng(), gan_on=gan_on
             )
             loss = float(metrics.get("s2ag_vs_trimodal_l1", metrics["s2ag_l1"]))
+            if self.check_finite and not np.isfinite(loss):
+                bad = {k: float(v) for k, v in metrics.items()}
+                raise FloatingPointError(
+                    f"non-finite training loss at epoch {self.epoch} iter {i}: {bad}"
+                )
             total, n = total + loss, n + 1
             if i % log_interval == 0:
                 line = " | ".join(
