@@ -80,6 +80,23 @@ def _is_sharded(x, mesh: Mesh) -> bool:
         return False
 
 
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None):
+    """Multi-host bring-up: call once per host before creating meshes.
+
+    On a real pod slice this wires DCN coordination (jax.distributed) so the
+    same Mesh code spans hosts; a no-op on single-process setups. The
+    reference has no multi-process story at all (SURVEY §2.7)."""
+    if num_processes in (None, 1):
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 # --------------------------------------------------------------------------
 # 2-D mesh: data + model axes
 # --------------------------------------------------------------------------
