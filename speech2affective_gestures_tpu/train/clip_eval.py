@@ -86,8 +86,10 @@ class ClipRenderer:
     def __init__(self, trainer, cfg: ModelConfig | None = None):
         self.trainer = trainer
         self.cfg = cfg or trainer.cfg
+        # abl_audio's generator consumes raw waveform windows, not MFCC
+        self._use_mfcc = getattr(trainer, "variant", "s2ag") != "abl_audio"
         self._s2ag_scan = synthesis.make_window_scan(
-            trainer.gen.apply, self.cfg, use_mfcc=True
+            trainer.gen.apply, self.cfg, use_mfcc=self._use_mfcc
         )
         self._tri_scan = (
             synthesis.make_window_scan(trainer.tri.apply, self.cfg, use_mfcc=False)
@@ -137,8 +139,8 @@ class ClipRenderer:
         out_dir_vec = synthesis.synthesize_clip(
             self.trainer.gen.apply, self._gen_vars(), clip_audio, words, lang,
             cfg, vid_idx=speaker_vid_idx, seed_dir_vec=seed, rng=r1,
-            sample_rate=sample_rate, fade_out=fade_out, use_mfcc=True,
-            scan_fn=self._s2ag_scan,
+            sample_rate=sample_rate, fade_out=fade_out,
+            use_mfcc=self._use_mfcc, scan_fn=self._s2ag_scan,
         )
         out_dir_vec_trimodal = None
         if self._tri_scan is not None:
