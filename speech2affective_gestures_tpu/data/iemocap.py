@@ -180,32 +180,43 @@ def load_iemocap_data(data_dir: str, dataset: str = "iemocap",
         for sess in sorted(os.listdir(wav_dir)):
             if "impro" not in sess:
                 continue
-            emotions_cat, emotions_dim = [], []
+            # parse annotations keyed by utterance NAME — the reference pairs
+            # glob order with annotation-line order (loader_v2.py:247-255),
+            # which misaligns when the filesystem order differs from the
+            # EmoEvaluation chronological order; keying by name is exact.
+            emotions_by_name: dict[str, tuple] = {}
             with open(jn(emo_dir, sess + ".txt")) as ef:
                 for line in ef:
                     if line and line[0] == "[":
-                        emotions_cat.append(
-                            extract_07_categorical_emotions(line.split()[4])
-                        )
-                        emotions_dim.append(
-                            [float(x) for x in re.findall(r"\d+\.\d+", line)[-3:]]
+                        parts = line.split()
+                        utt_name, label = parts[3], parts[4]
+                        dims_vals = [
+                            float(x) for x in re.findall(r"\d+\.\d+", line)[-3:]
+                        ]
+                        emotions_by_name[utt_name] = (
+                            extract_07_categorical_emotions(label), dims_vals
                         )
             wav_files = sorted(glob.glob(jn(wav_dir, sess, "*.wav")))
-            assert len(wav_files) == len(emotions_cat)
-            for wav_idx, wav_name in enumerate(wav_files):
+            assert len(wav_files) == len(emotions_by_name)
+            for wav_name in wav_files:
+                utt = os.path.splitext(os.path.basename(wav_name))[0]
+                cat, dim = emotions_by_name[utt]
                 data, _, rate = read_wav_file(wav_name)
+                if s_num in sessions_train:
+                    split = "train"
+                elif s_num == session_test:
+                    is_male = os.path.basename(wav_name)[-8] == "M"
+                    split = "test" if is_male else "val"
+                else:
+                    split = "ignore"
                 for mel, d1, d2 in wav_to_blocks(data, rate, block_size,
                                                  filter_num):
                     data1.append(mel)
                     data2.append(d1)
                     data3.append(d2)
-                    cats.append(emotions_cat[wav_idx])
-                    dims.append(emotions_dim[wav_idx])
-                    if s_num in sessions_train:
-                        split_of.append("train")
-                    elif s_num == session_test:
-                        is_male = os.path.basename(wav_name)[-8] == "M"
-                        split_of.append("test" if is_male else "val")
+                    cats.append(cat)
+                    dims.append(dim)
+                    split_of.append(split)
 
     data1, data2, data3 = map(np.asarray, (data1, data2, data3))
     cats = np.asarray(cats)

@@ -378,9 +378,20 @@ def make_synthetic_videos(n_videos: int = 3, clip_seconds: float = 12.0,
 # --------------------------------------------------------------------------
 
 def iter_lmdb_videos(lmdb_dir: str) -> Iterator[dict]:
-    """Stream raw-schema videos from the original TED lmdb."""
+    """Stream raw-schema videos from the original TED lmdb.
+
+    The TED caches were written with pyarrow 0.14's legacy serialize API;
+    pyarrow >= 2 removed deserialize entirely, so require it explicitly
+    rather than crashing mid-stream."""
     if lmdb is None or pyarrow is None:
         raise ImportError("lmdb/pyarrow are required to read TED caches")
+    if not hasattr(pyarrow, "deserialize"):
+        raise ImportError(
+            "the original TED lmdb caches use pyarrow's legacy serialize "
+            f"format; pyarrow {pyarrow.__version__} removed deserialize — "
+            "install pyarrow<2 (the reference pins 0.14) or re-export the "
+            "caches"
+        )
     env = lmdb.open(lmdb_dir, readonly=True, lock=False)
     with env.begin(write=False) as txn:
         for _key, value in txn.cursor():

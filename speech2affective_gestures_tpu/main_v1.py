@@ -85,6 +85,9 @@ def main(argv=None):
         {"params": jax.random.key(0), "dropout": jax.random.key(1)},
         jnp.asarray(train_x[:2]),
     )
+    from .models.ser import apply_reference_init
+
+    variables = apply_reference_init(variables, jax.random.key(42))
     params, stats = variables["params"], variables["batch_stats"]
     opt = ser_trainer.make_ser_optimizer(
         args.optimizer, args.base_lr, args.weight_decay, args.nesterov

@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-interval", type=int, default=10)
     p.add_argument("--torch-checkpoint", type=str, default="",
                    help="optional reference .pth.tar to convert and load")
+    p.add_argument("--trimodal-checkpoint", type=str, default="",
+                   help="frozen TriModal baseline trimodal_gen.pth.tar "
+                        "(reference loads outputs/trimodal_gen.pth.tar, "
+                        "processor_v2.py:1033); without it the comparator "
+                        "metric uses a random-init baseline")
     p.add_argument("--embedding-net-checkpoint", type=str, default="",
                    help="frozen FGD embedding net .pth.tar")
     p.add_argument("--synthetic-data", type=str2bool, default=False,
@@ -128,6 +133,18 @@ def main(argv=None, variant: str = "s2ag"):
         variant=variant,
     )
     trainer.logger.save_arg(vars(args))
+
+    if args.trimodal_checkpoint:
+        trainer.load_trimodal_torch_checkpoint(args.trimodal_checkpoint)
+    else:
+        default_tri = jn(args.base_path, "outputs", "trimodal_gen.pth.tar")
+        if os.path.exists(default_tri):
+            trainer.load_trimodal_torch_checkpoint(default_tri)
+        else:
+            trainer.logger.print_log(
+                "Warning: no trimodal_gen.pth.tar — the s2ag_vs_trimodal "
+                "comparison uses a random-init baseline."
+            )
 
     if args.torch_checkpoint:
         trainer.load_torch_checkpoint(args.torch_checkpoint)

@@ -212,11 +212,12 @@ class WNConv1d(nn.Module):
     @nn.compact
     def __call__(self, x):
         cin = x.shape[-1]
-        # reference re-initializes TCN conv weights to N(0, 0.01)
+        # NOTE: the reference *writes* N(0,0.01) into these convs
+        # (net/tcn.py:38-41) but weight_norm's pre-forward hook immediately
+        # recomputes weight from (g, v), so the re-init is a no-op and the
+        # EFFECTIVE init is torch's default kaiming-uniform — matched here.
         v = self.param(
-            "v",
-            nn.initializers.normal(stddev=0.01),
-            (self.kernel_size, cin, self.features),
+            "v", torch_conv_kernel_init, (self.kernel_size, cin, self.features)
         )
         g = self.param(
             "g",

@@ -41,6 +41,45 @@ def truncated_normal_init(mean: float = 0.0, std: float = 0.01, eps: float = 1e-
 _const_bias = nn.initializers.constant(0.01)
 
 
+def apply_reference_init(variables, rng, bidirectional: bool = True):
+    """Rewrite freshly-initialized AttConvRNN params with the reference's
+    scheme (ser_att_conv_rnn_v1.py:50-114): truncated N(0, 0.01) weights and
+    constant-0.01 biases for every conv/linear, and LSTM input/forget-gate
+    bias blocks set to 1 (the reference writes the [H:2H] slice of the
+    (i,f,g,o) layout — the forget gate).
+
+    Applied as a post-init transform so the layer primitives stay generic.
+    """
+    import flax
+
+    params = flax.core.unfreeze(variables["params"]) if hasattr(
+        flax.core, "unfreeze"
+    ) else dict(variables["params"])
+    tn = truncated_normal_init()
+
+    def visit(tree, path=()):
+        for key, val in tree.items():
+            if isinstance(val, dict):
+                visit(val, path + (key,))
+                continue
+            if "attention" in path:  # keeps its own N(0,0.1)/0.1 init
+                continue
+            nonlocal rng
+            rng, sub = jax.random.split(rng)
+            if key == "kernel":
+                tree[key] = tn(sub, val.shape, val.dtype)
+            elif key == "bias":
+                tree[key] = jnp.full_like(val, 0.01)
+            elif key.startswith("b_ih") or key.startswith("b_hh"):
+                hsz = val.shape[0] // 4
+                tree[key] = val.at[hsz : 2 * hsz].set(1.0)  # forget gate
+
+    visit(params)
+    new_vars = dict(variables)
+    new_vars["params"] = params
+    return new_vars
+
+
 class Attention(nn.Module):
     """Additive attention over time (ref ser_att_conv_rnn_v1.py:16-34)."""
 
@@ -79,8 +118,6 @@ class AttConvRNN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        tn = truncated_normal_init()
-
         def conv(features, name):
             return L.Conv2d(features, (5, 3), padding=(2, 1), name=name)
 
@@ -95,8 +132,11 @@ class AttConvRNN(nn.Module):
         y = drop(act(conv(self.l3, "conv5")(y)))
         y = drop(act(conv(self.l4, "conv6")(y)))
         b, h, w, c = y.shape
-        # torch flattens (C, W) per time step (NCHW view); match that order
-        y = jnp.swapaxes(y, -1, -2).reshape(b * h, c * w)
+        # replicate the reference's NCHW .contiguous().view(-1, C*W) byte
+        # order exactly (ser_att_conv_rnn_v1.py:145): since H*W is not a
+        # multiple of W, rows straddle channels — but row count is B*H and
+        # the regrouping below is what the reference trains on.
+        y = jnp.transpose(y, (0, 3, 1, 2)).reshape(b * h, c * w)
         y = L.Linear(self.f1, name="linear1")(y)
         y = L.BatchNorm(self.f1, name="bn_linear1")(y, use_running_average=not train)
         y = act(y).reshape(b, h, self.f1)
@@ -132,7 +172,7 @@ class AttConvRNNv2(nn.Module):
         y = drop(act(L.Conv2d(self.l2, (5, 3), padding=(2, 1), name="conv2")(y)))
         y = drop(act(L.Conv2d(self.l2, (5, 3), padding=(2, 1), name="conv3")(y)))
         b, h, w, c = y.shape
-        y = jnp.swapaxes(y, -1, -2).reshape(b * h, c * w)
+        y = jnp.transpose(y, (0, 3, 1, 2)).reshape(b * h, c * w)
         y = L.Linear(self.f1, name="linear1")(y)
         y = L.BatchNorm(self.f1, name="bn_linear1")(y, use_running_average=not train)
         y = act(y).reshape(b, h, self.f1)

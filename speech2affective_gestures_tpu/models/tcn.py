@@ -52,12 +52,28 @@ class TemporalBlock(nn.Module):
         y = nn.relu(y)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         if x.shape[-1] != self.features:
-            # torch init quirk: downsample weights are re-drawn N(0, 0.01)
-            # (net/tcn.py:37-41) but its bias keeps the default init.
-            res = L.Conv1d(self.features, 1, name="downsample")(x)
+            res = DownsampleConv1d(self.features, name="downsample")(x)
         else:
             res = x
         return nn.relu(y + res)
+
+
+class DownsampleConv1d(nn.Module):
+    """1x1 residual projection. Unlike the weight-normed convs (where the
+    reference's N(0,0.01) re-init is undone by the weight_norm hook), this
+    plain conv's N(0,0.01) re-init IS effective (net/tcn.py:40-41)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.normal(0.01), (1, cin, self.features)
+        )
+        y = jnp.einsum("btc,kcf->btf", x, kernel)
+        bound = 1.0 / (cin ** 0.5)
+        return y + self.param("bias", L.torch_uniform(bound), (self.features,))
 
 
 class TemporalConvNet(nn.Module):

@@ -123,8 +123,9 @@ def get_mfcc_features_fast(
     audio: jax.Array, sr: int = 16000, num_mfcc: int = 14
 ) -> jax.Array:
     """get_mfcc_features via the fused Pallas mel kernel on TPU (about 2x
-    the XLA path on v5e); falls back to the XLA path on other backends."""
-    if jax.default_backend() == "cpu":
+    the XLA path on v5e); falls back to the XLA path on non-TPU backends
+    (the kernel uses pltpu memory spaces)."""
+    if jax.default_backend() not in ("tpu", "axon"):
         return get_mfcc_features(audio, sr=sr, num_mfcc=num_mfcc)
     from . import dsp_pallas
 

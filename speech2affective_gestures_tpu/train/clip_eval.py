@@ -210,12 +210,11 @@ def generate_gestures_by_dataset(
             if trainer.test_data.speaker_model else 1
         )
         for clip in stitch_test_clips(trainer.test_data):
-            prefix = f"{clip['vid']}_{clip['time'][0]:.2f}_{clip['time'][1]:.2f}"
+            # reference filter semantics: keep clips whose vid appears as a
+            # substring of any requested sample prefix (processor_v2.py:1486)
             if samples is not None and not any(
                 clip["vid"] in s for s in samples
             ):
-                continue
-            if samples is not None and prefix not in samples:
                 continue
             vid_idx = int(rng.integers(0, n_speakers)) if randomized else 0
             res = renderer.render_clip(

@@ -205,17 +205,21 @@ class Trainer:
     def train(self, epochs: int | None = None):
         epochs = epochs or self.cfg.epochs
         for self.epoch in range(self.epoch, epochs):
-            self.per_train_epoch()
+            train_loss = self.per_train_epoch()
             save = (self.epoch % self.save_interval == 0)
+            epoch_loss = train_loss
             if self.val_data is not None and self.epoch % self.val_interval == 0:
                 val_loss = self.per_val_epoch()
+                epoch_loss = val_loss
                 if val_loss < self.best_loss and self.epoch > self.min_train_epochs:
                     self.best_loss = val_loss
                     self.best_loss_epoch = self.epoch
                     save = True
             if save:
-                self.save_checkpoint(self.best_loss if np.isfinite(self.best_loss)
-                                     else 0.0)
+                # stamp THIS epoch's loss (the reference stamps the epoch's
+                # mean loss, processor_v2.py:1066-1069) so best-checkpoint
+                # selection by filename stays meaningful
+                self.save_checkpoint(epoch_loss)
 
     # -------------------------------------------------------- checkpoints
     def _ckpt_name(self, loss: float) -> str:
