@@ -89,3 +89,13 @@ def test_against_librosa_golden():
     data = np.load("tests/golden/librosa_mfcc.npz")
     got = dsp_ref.get_mfcc_features(data["audio"], sr=16000, num_mfcc=14)
     np.testing.assert_allclose(got, data["mfcc_combined"], rtol=1e-4, atol=1e-5)
+
+
+def test_against_self_golden():
+    """Regression lock: committed fixture of this repo's own DSP outputs
+    (guards refactors of dsp_ref/dsp/dsp_native against silent drift)."""
+    data = np.load("tests/golden/dsp_self_golden.npz")
+    got = dsp_ref.get_mfcc_features(data["audio"])
+    np.testing.assert_allclose(got, data["mfcc_combined"], rtol=1e-5, atol=1e-7)
+    got_mel = dsp_ref.extract_mel_spectrogram(data["audio"]).astype(np.float32)
+    np.testing.assert_allclose(got_mel, data["log_mel"], atol=1e-3)
