@@ -19,7 +19,9 @@ import numpy as np
 
 import grain.python as gp
 
-from .ted_db import PackedDataset
+from .ted_db import (
+    PackedDataset, decode_rows, sample_adversarial_speakers, speaker_id_pool,
+)
 
 
 class PackedDataSource(gp.RandomAccessDataSource):
@@ -32,15 +34,9 @@ class PackedDataSource(gp.RandomAccessDataSource):
         return self._ds.n_samples
 
     def __getitem__(self, idx: int) -> dict:
-        ds = self._ds
-        return {
-            "extended_word_seq": ds.extended_word_seq[idx].astype(np.int32),
-            "vec_seq": ds.vec_seq[idx].astype(np.float32),
-            "audio": (ds.audio[idx].astype(np.float32)
-                      * ds.audio_max[idx] / 32767.0),
-            "mfcc_features": ds.mfcc_features[idx].astype(np.float32),
-            "own_vid": np.int32(ds.vid_indices[idx]),
-        }
+        row = decode_rows(self._ds, idx)
+        row["own_vid"] = np.int32(self._ds.vid_indices[idx])
+        return row
 
 
 @dataclasses.dataclass
@@ -52,10 +48,9 @@ class AdversarialSpeakers(gp.RandomMapTransform):
 
     def random_map(self, batch: dict, rng: np.random.Generator) -> dict:
         own = batch.pop("own_vid")
-        pool = np.setdiff1d(self.all_speaker_ids, own)
-        if len(pool) == 0:
-            pool = self.all_speaker_ids
-        batch["vid_indices"] = rng.choice(pool, size=len(own)).astype(np.int32)
+        batch["vid_indices"] = sample_adversarial_speakers(
+            self.all_speaker_ids, own, rng, len(own)
+        ).astype(np.int32)
         return batch
 
 
@@ -79,10 +74,9 @@ def make_data_loader(
         num_epochs=num_epochs,
         seed=seed,
     )
-    speaker_ids = (
-        np.asarray(sorted(dataset.speaker_model.word2index.values()))
-        if dataset.speaker_model is not None else np.arange(1)
-    )
+    speaker_ids = speaker_id_pool(dataset)
+    if speaker_ids is None:
+        speaker_ids = np.arange(1)
     operations = [
         gp.Batch(batch_size=batch_size, drop_remainder=True),
         AdversarialSpeakers(speaker_ids),

@@ -138,6 +138,35 @@ class PackedDataset:
         )
 
 
+def speaker_id_pool(dataset: PackedDataset) -> np.ndarray | None:
+    """All speaker ids of a split's speaker model."""
+    sp = dataset.speaker_model
+    return np.asarray(sorted(sp.word2index.values())) if sp is not None else None
+
+
+def decode_rows(ds: PackedDataset, idx) -> dict:
+    """Packed rows -> training dtypes (int16 audio rescaled by per-sample
+    max, f16 MFCC promoted) — shared by every sampler/loader."""
+    return {
+        "extended_word_seq": ds.extended_word_seq[idx].astype(np.int32),
+        "vec_seq": ds.vec_seq[idx].astype(np.float32),
+        "audio": (ds.audio[idx]
+                  * np.expand_dims(ds.audio_max[idx], -1) / 32767.0
+                  ).astype(np.float32),
+        "mfcc_features": ds.mfcc_features[idx].astype(np.float32),
+    }
+
+
+def sample_adversarial_speakers(all_speaker_ids: np.ndarray, own: np.ndarray,
+                                rng: np.random.Generator, size: int) -> np.ndarray:
+    """Random speakers excluding every id in `own` (the reference excludes
+    the whole batch's ids via setdiff1d, processor_v2.py:627-630)."""
+    pool = np.setdiff1d(all_speaker_ids, own)
+    if len(pool) == 0:
+        pool = all_speaker_ids
+    return rng.choice(pool, size=size)
+
+
 class BatchSampler:
     """Random-with-replacement batches + adversarial speaker ids
     (ref yield_batch, processor_v2.py:589-638: vid_indices fed to the
@@ -147,10 +176,7 @@ class BatchSampler:
         self.ds = dataset
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
-        sp = dataset.speaker_model
-        self.all_speaker_ids = (
-            np.asarray(sorted(sp.word2index.values())) if sp is not None else None
-        )
+        self.all_speaker_ids = speaker_id_pool(dataset)
 
     def pseudo_passes(self) -> int:
         return (self.ds.n_samples + self.batch_size - 1) // self.batch_size
@@ -159,26 +185,14 @@ class BatchSampler:
         return self.rng.integers(0, self.ds.n_samples, self.batch_size)
 
     def adversarial_speakers(self, own: np.ndarray) -> np.ndarray:
-        """One random speaker per row, excluding every speaker in `own`
-        (the reference excludes the whole batch's ids via setdiff1d,
-        processor_v2.py:627-630)."""
-        pool = np.setdiff1d(self.all_speaker_ids, own)
-        if len(pool) == 0:
-            pool = self.all_speaker_ids
-        return self.rng.choice(pool, size=self.batch_size)
+        return sample_adversarial_speakers(
+            self.all_speaker_ids, own, self.rng, self.batch_size
+        )
 
     def __iter__(self) -> Iterator[dict]:
         for _ in range(self.pseudo_passes()):
             idx = self.sample_indices()
-            batch = {
-                "extended_word_seq": self.ds.extended_word_seq[idx].astype(np.int32),
-                "vec_seq": self.ds.vec_seq[idx].astype(np.float32),
-                "audio": (
-                    self.ds.audio[idx]
-                    * self.ds.audio_max[idx, None] / 32767.0
-                ).astype(np.float32),
-                "mfcc_features": self.ds.mfcc_features[idx].astype(np.float32),
-            }
+            batch = decode_rows(self.ds, idx)
             if self.all_speaker_ids is not None:
                 batch["vid_indices"] = self.adversarial_speakers(
                     self.ds.vid_indices[idx]

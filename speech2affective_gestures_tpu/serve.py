@@ -9,7 +9,8 @@ HTTP. Latency characteristics on one v5e chip: ~1 s for a 60 s clip
 API (JSON over HTTP):
   GET  /healthz           -> {"status": "ok", "backend": ...}
   POST /synthesize        body: {
-        "audio": [float, ...] | null,   # 16 kHz waveform
+        "audio": [float, ...] | null,   # 16 kHz waveform; null = silence
+                                        # covering the words' time range
         "words": [[word, start_s, end_s], ...],
         "vid_idx": int (optional),
         "fade_out": bool (optional),
@@ -18,8 +19,12 @@ API (JSON over HTTP):
       -> {"dir_vec": [[27 floats] x F], "poses": [[10][3] x F],
           "frames": F, "elapsed_ms": ...}
 
+Compilation: the window scan is shape-specialized on the window count; the
+service pads window counts up to power-of-two buckets and warms up the
+largest bucket, so steady-state requests never recompile.
+
 Run: python -m speech2affective_gestures_tpu.serve -b BASE -c cfg.yml \
-         [--checkpoint best] [--port 8787]
+         [--port 8787]
 """
 
 from __future__ import annotations
@@ -43,15 +48,15 @@ from .train import builder, synthesis
 
 class SynthesisService:
     """Owns the model, vocab and the compiled window scan; thread-safe
-    (single device queue; JAX dispatch serializes)."""
+    (single device queue; JAX dispatch serializes).
 
-    def __init__(self, cfg: ModelConfig, variables, lang_model: Vocab,
+    `gen` must be the module the `variables` were created with — construct
+    via `from_trainer` (checkpointed models) or `from_config` (fresh)."""
+
+    def __init__(self, cfg: ModelConfig, gen, variables, lang_model: Vocab,
                  use_mfcc: bool = True):
         self.cfg = cfg
         self.lang = lang_model
-        gen, _, _ = builder.build_models(
-            cfg, lang_model.n_words if lang_model else 1000, 1000
-        )
         self.gen = gen
         self.variables = variables
         self.use_mfcc = use_mfcc
@@ -60,31 +65,43 @@ class SynthesisService:
         self._counter = 0
 
     @classmethod
+    def from_config(cls, cfg: ModelConfig, variables, lang_model: Vocab,
+                    n_speakers: int = 1000, variant: str = "s2ag",
+                    word_embeddings=None) -> "SynthesisService":
+        gen, _, _ = builder.build_models(
+            cfg, lang_model.n_words if lang_model else 1000, n_speakers,
+            word_embeddings=word_embeddings, variant=variant,
+        )
+        return cls(cfg, gen, variables, lang_model,
+                   use_mfcc=(variant != "abl_audio"))
+
+    @classmethod
     def from_trainer(cls, trainer) -> "SynthesisService":
-        svc = cls.__new__(cls)
-        svc.cfg = trainer.cfg
-        svc.lang = (trainer.test_data.lang_model if trainer.test_data
-                    else trainer.train_data.lang_model)
-        svc.gen = trainer.gen
-        svc.variables = {
+        lang = (trainer.test_data.lang_model if trainer.test_data
+                else trainer.train_data.lang_model)
+        variables = {
             "params": trainer.state.gen_params,
             "batch_stats": trainer.state.gen_stats,
         }
-        svc.use_mfcc = getattr(trainer, "variant", "s2ag") != "abl_audio"
-        svc.scan_fn = synthesis.make_window_scan(
-            trainer.gen.apply, trainer.cfg, svc.use_mfcc
+        return cls(
+            trainer.cfg, trainer.gen, variables, lang,
+            use_mfcc=getattr(trainer, "variant", "s2ag") != "abl_audio",
         )
-        svc._lock = threading.Lock()
-        svc._counter = 0
-        return svc
 
-    def warmup(self, seconds: float = 5.0):
+    def warmup(self, seconds: float = 62.0):
+        """Compile the largest window-count bucket up front (the scan is
+        shape-specialized on the bucketed window count)."""
         audio = np.zeros(int(seconds * C.AUDIO_SR), np.float32)
         self.synthesize(audio, [["<UNK>", 0.1, 0.4], ["<UNK>", 1.0, 1.4]])
 
-    def synthesize(self, audio: np.ndarray, words, vid_idx: int = 0,
+    def synthesize(self, audio: np.ndarray | None, words, vid_idx: int = 0,
                    fade_out: bool = False) -> dict:
         t0 = time.perf_counter()
+        if audio is None:
+            # documented null-audio mode: silence covering the words
+            end = max((w[2] for w in words), default=1.0) + 0.5
+            audio = np.zeros(int(end * C.AUDIO_SR), np.float32)
+        audio = np.asarray(audio, np.float32)
         with self._lock:
             self._counter += 1
             rng = jax.random.key(self._counter)
@@ -92,6 +109,7 @@ class SynthesisService:
                 self.gen.apply, self.variables, audio, words, self.lang,
                 self.cfg, vid_idx=vid_idx, rng=rng, fade_out=fade_out,
                 use_mfcc=self.use_mfcc, scan_fn=self.scan_fn,
+                window_bucketing=True,
             )
         poses = np.asarray(pose_ops.convert_dir_vec_to_pose(
             jnp.asarray(dir_vec + self.cfg.mean_dir_vec_array)
@@ -134,7 +152,9 @@ def make_handler(service: SynthesisService):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                audio = np.asarray(req["audio"], np.float32)
+                raw_audio = req["audio"]
+                audio = (None if raw_audio is None
+                         else np.asarray(raw_audio, np.float32))
                 words = req.get("words", [])
                 result = service.synthesize(
                     audio, words,
@@ -149,6 +169,8 @@ def make_handler(service: SynthesisService):
                 })
             except (KeyError, ValueError, TypeError) as e:
                 self._send(400, {"error": f"bad request: {e}"})
+            except Exception as e:  # noqa: BLE001 — surface as HTTP 500
+                self._send(500, {"error": f"synthesis failed: {e}"})
 
     return Handler
 
@@ -162,21 +184,30 @@ def serve(service: SynthesisService, port: int = 8787,
 
 
 def main(argv=None):
+    import os
+    from os.path import join as jn
+
     from .main_v2 import build_parser, load_datasets
     from .train.trainer import Trainer
 
     parser = build_parser()
     parser.add_argument("--port", type=int, default=8787)
     args = parser.parse_args(argv)
+    args.train_s2ag = False  # serving never needs the train/val splits
     cfg = ModelConfig.from_yaml(args.config, batch_size=args.batch_size)
-    train_data, val_data, test_data = load_datasets(args, cfg)
-    trainer = Trainer(cfg, "/tmp/serve_work", train_data=train_data,
-                      val_data=val_data, test_data=test_data,
-                      use_mesh=False)
+    _, _, test_data = load_datasets(args, cfg)
+    # same work dir main_v2 trains into, so load_checkpoint('best') finds it
+    work_dir = jn(args.base_path, "models", "s2ag_v2_mfcc_tpu",
+                  args.dataset_s2ag)
+    trainer = Trainer(cfg, work_dir, test_data=test_data, use_mesh=False)
     if args.torch_checkpoint:
         trainer.load_torch_checkpoint(args.torch_checkpoint)
     elif args.s2ag_load_last_best:
-        trainer.load_checkpoint("best")
+        if not trainer.load_checkpoint("best"):
+            raise SystemExit(
+                f"no checkpoint found in {work_dir}; pass --torch-checkpoint "
+                "or --s2ag-load-last-best false to serve random-init weights"
+            )
     service = SynthesisService.from_trainer(trainer)
     print("warming up (compiles the window scan)...")
     service.warmup()

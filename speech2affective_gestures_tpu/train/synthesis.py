@@ -175,12 +175,26 @@ def synthesize_clip(
     fade_out: bool = False,
     use_mfcc: bool = True,
     scan_fn=None,
+    window_bucketing: bool = False,
 ) -> np.ndarray:
     """Full streaming synthesis: audio + timed words -> (F, pose_dim)
-    mean-normalized direction vectors for the whole clip."""
+    mean-normalized direction vectors for the whole clip.
+
+    window_bucketing pads the window count to the next power of two so the
+    jitted scan compiles once per bucket instead of once per clip length
+    (serving path); the scan is sequential, so outputs for the real windows
+    are unaffected by trailing padded windows, which are sliced away.
+    """
     audio_windows, text_windows, end_padding = prepare_window_inputs(
         clip_audio, clip_words, lang_model, cfg, sample_rate
     )
+    n_windows = len(audio_windows)
+    if window_bucketing and n_windows > 0:
+        bucket = 1 << max(2, (n_windows - 1).bit_length())
+        if bucket > n_windows:
+            pad = bucket - n_windows
+            audio_windows = np.pad(audio_windows, ((0, pad), (0, 0)))
+            text_windows = np.pad(text_windows, ((0, pad), (0, 0)))
     if use_mfcc:
         feat_windows = dsp.get_mfcc_features_fast(
             jnp.asarray(audio_windows), sr=sample_rate, num_mfcc=cfg.num_mfcc
@@ -199,7 +213,7 @@ def synthesize_clip(
     outs = np.asarray(
         scan_fn(variables, feat_windows, jnp.asarray(text_windows),
                 jnp.asarray([vid_idx]), seed, rng)
-    )
+    )[:n_windows]
     out_dir_vec = crossfade_windows(outs, cfg.n_pre_poses)
     if fade_out:
         out_dir_vec = fade_out_poses(out_dir_vec, end_padding, cfg, sample_rate)

@@ -29,10 +29,22 @@ def test_loader_yields_training_batches(dataset):
     assert b["vec_seq"].shape == (8, CFG.n_poses, C.POSE_DIM)
     assert b["audio"].shape == (8, CFG.expected_audio_length)
     assert b["mfcc_features"].dtype == np.float32
-    # adversarial vids differ from every row's own speaker
-    own = set(np.unique(dataset.vid_indices))
     assert "own_vid" not in b
     assert b["vid_indices"].shape == (8,)
+
+
+def test_adversarial_speakers_exclude_batch(dataset):
+    """The reference excludes the whole batch's own speakers (setdiff1d,
+    processor_v2.py:627-630); with 2 synthetic speakers total, a batch drawn
+    from one video must get the OTHER speaker."""
+    from speech2affective_gestures_tpu.data import grain_loader as gl
+
+    own = np.full(4, dataset.vid_indices[0], np.int64)
+    t = gl.AdversarialSpeakers(
+        np.asarray(sorted(dataset.speaker_model.word2index.values()))
+    )
+    batch = t.random_map({"own_vid": own}, np.random.default_rng(0))
+    assert not np.isin(batch["vid_indices"], own).any()
 
 
 def test_loader_shuffles_deterministically(dataset):

@@ -33,12 +33,7 @@ def service():
     lang = Vocab("w")
     for w in ("hello", "world"):
         lang.index_word(w)
-    svc = serve.SynthesisService(CFG, variables, lang)
-    svc.gen = gen  # ensure tiny generator (builder would rebuild full-size)
-    import speech2affective_gestures_tpu.train.synthesis as synthesis
-
-    svc.scan_fn = synthesis.make_window_scan(gen.apply, CFG, True)
-    return svc
+    return serve.SynthesisService(CFG, gen, variables, lang)
 
 
 @pytest.fixture(scope="module")
@@ -91,3 +86,49 @@ def test_bad_request_returns_400(server):
 def test_unknown_path_404(server):
     status, _ = _request(server, "GET", "/bogus")
     assert status == 404
+
+
+def test_null_audio_synthesizes_silence(server):
+    status, data = _request(server, "POST", "/synthesize", {
+        "audio": None,
+        "words": [["hello", 0.2, 0.6]],
+    })
+    assert status == 200
+    assert data["frames"] > 0
+
+
+def test_window_bucketing_constant_compiles(service):
+    """Different clip lengths within a bucket reuse the same compiled scan
+    and produce the right frame counts."""
+    from speech2affective_gestures_tpu.train import synthesis
+
+    for seconds in (5.0, 7.0):
+        audio = np.zeros(int(seconds * C.AUDIO_SR), np.float32)
+        out = service.synthesize(audio, [["hello", 0.1, 0.5]])
+        windows, *_ = synthesis.plan_subdivisions(seconds, CFG)
+        expected = (len(windows) - 1) * (CFG.n_poses - CFG.n_pre_poses) \
+            + CFG.n_poses
+        assert out["frames"] == expected
+
+
+def test_from_config_constructor_matches_checkpoint_shapes():
+    """from_config must rebuild a generator compatible with the variables
+    (regression for the constructor that rebuilt with wrong sizes)."""
+    from speech2affective_gestures_tpu.train import builder
+
+    lang = Vocab("w")
+    for w in ("a", "b"):
+        lang.index_word(w)
+    cfg = ModelConfig(hidden_size=32, hidden_size_s2eg=32, n_layers=2)
+    gen, _, _ = builder.build_models(cfg, lang.n_words, n_speakers=7)
+    pre = jnp.zeros((1, cfg.n_poses, C.POSE_DIM + 1))
+    variables = gen.init(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        pre, jnp.zeros((1, cfg.n_poses), jnp.int32),
+        jnp.zeros((1, cfg.num_mfcc_combined, cfg.mfcc_length)),
+        jnp.zeros((1,), jnp.int32),
+    )
+    svc = serve.SynthesisService.from_config(cfg, variables, lang, n_speakers=7)
+    audio = np.zeros(int(3.0 * C.AUDIO_SR), np.float32)
+    out = svc.synthesize(audio, [["a", 0.1, 0.4]])
+    assert out["frames"] > 0
