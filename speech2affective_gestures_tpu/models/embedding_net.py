@@ -13,6 +13,7 @@ LeakyReLU slopes follow the reference's effective values, including the
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -232,7 +233,15 @@ class EmbeddingNet(nn.Module):
                 self.n_frames, self.pose_dim, name="pose_encoder"
             )(poses, variational_encoding=variational_encoding, train=train)
 
-        latent = context_feat if mode == "speech" else poses_feat
+        if mode == "random":
+            # 50/50 speech/pose latent selection per call
+            # (ref net/embedding_net.py:296-297)
+            pick_speech = jax.random.bernoulli(self.make_rng("noise"))
+            latent = jax.lax.cond(
+                pick_speech, lambda: context_feat, lambda: poses_feat
+            )
+        else:
+            latent = context_feat if mode == "speech" else poses_feat
         if self.mode == "pose":
             out_poses = PoseDecoderConv(
                 self.n_frames, self.pose_dim, name="decoder"

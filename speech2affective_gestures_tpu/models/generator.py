@@ -60,6 +60,9 @@ class PoseGenerator(nn.Module):
     word_embed_size: int = 300
     word_embeddings: np.ndarray | None = None
     freeze_embedding: bool = False
+    # mfcc_length / num_mfcc are retained for constructor parity with the
+    # reference (it passes them, net/multimodal_context_net_v2.py:439-440);
+    # the encoder infers both from the input tensor's static shape.
     mfcc_length: int = C.MFCC_LENGTH
     num_mfcc: int = C.NUM_MFCC_COMBINED
     time_steps: int = C.N_POSES

@@ -146,7 +146,9 @@ class BatchNorm(nn.Module):
         else:
             reduce_axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(x, axis=reduce_axes)
-            var = jnp.mean(jnp.square(x), axis=reduce_axes) - jnp.square(mean)
+            # two-pass variance (torch's formula): E[x^2]-E[x]^2 cancels
+            # catastrophically for large-mean activations in f32
+            var = jnp.mean(jnp.square(x - mean), axis=reduce_axes)
             n = x.size // x.shape[-1]
             unbiased = var * (n / max(n - 1, 1))
             if not self.is_initializing():
@@ -257,8 +259,11 @@ class ConvTranspose1d(nn.Module):
     @nn.compact
     def __call__(self, x):
         cin = x.shape[-1]
+        # torch ConvTranspose kaiming fan_in = Cout * K (weight (Cin,Cout,K))
+        bound_w = 1.0 / math.sqrt(self.features * self.kernel_size)
         kernel = self.param(
-            "kernel", torch_conv_kernel_init, (self.kernel_size, cin, self.features)
+            "kernel", torch_uniform(bound_w),
+            (self.kernel_size, cin, self.features),
         )
         pad = self.kernel_size - 1 - self.padding
         y = jax.lax.conv_general_dilated(
@@ -322,8 +327,10 @@ class ConvTranspose2d(nn.Module):
     def __call__(self, x):
         cin = x.shape[-1]
         kh, kw = _pair(self.kernel_size)
+        # torch ConvTranspose kaiming fan_in = Cout * kh * kw
+        bound_w = 1.0 / math.sqrt(self.features * kh * kw)
         kernel = self.param(
-            "kernel", torch_conv_kernel_init, (kh, kw, cin, self.features)
+            "kernel", torch_uniform(bound_w), (kh, kw, cin, self.features)
         )
         ph, pw = _pair(self.padding)
         sh, sw = _pair(self.stride)
@@ -511,8 +518,6 @@ class MaxPool2d(nn.Module):
         return x.max(axis=(2, 4))
 
 
-class Dropout(nn.Dropout):
-    pass
 
 
 def sum_bidirectional(out: jax.Array, hidden_size: int) -> jax.Array:

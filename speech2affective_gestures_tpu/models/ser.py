@@ -68,7 +68,9 @@ def apply_reference_init(variables, rng, bidirectional: bool = True):
             rng, sub = jax.random.split(rng)
             if key == "kernel":
                 tree[key] = tn(sub, val.shape, val.dtype)
-            elif key == "bias":
+            elif key == "bias" and "kernel" in tree:
+                # conv/linear biases only — BatchNorm (scale/bias pairs) is
+                # NOT re-initialized by the reference
                 tree[key] = jnp.full_like(val, 0.01)
             elif key.startswith("b_ih") or key.startswith("b_hh"):
                 hsz = val.shape[0] // 4

@@ -10,6 +10,12 @@ output quaternion channels.
 
 Implemented with flax attention primitives (post-LN encoder/decoder blocks,
 torch TransformerEncoderLayer-style).
+
+Deliberate divergence: the reference feeds batch-first tensors into a
+sequence-first PositionalEncoding (net/T2GNet.py:183-184,208), so its "pe"
+indexes the BATCH position and is constant across the sequence — a latent
+bug in dead code. This implementation applies positional encoding over the
+sequence axis, as intended.
 """
 
 from __future__ import annotations

@@ -108,15 +108,28 @@ def mfcc(
     return jnp.swapaxes(out, -1, -2)
 
 
-def get_mfcc_features(
-    audio: jax.Array, sr: int = 16000, num_mfcc: int = 14
-) -> jax.Array:
-    """(..., L) -> (..., 3*num_mfcc-5, T) combined MFCC+diff features,
-    matching reference utils/common.py:340-349."""
-    m = mfcc(audio, sr=sr, n_mfcc=num_mfcc) / 1000.0
+def mfcc_tail_from_mel(mel: jax.Array, num_mfcc: int, n_mels: int) -> jax.Array:
+    """Shared post-mel pipeline: power_to_db -> DCT -> /1000 ->
+    coefficient-axis diffs (ref utils/common.py:340-349). mel: (..., T,
+    n_mels) -> (..., 3*num_mfcc-5, T). Used by both the XLA and Pallas
+    mel backends so the tail can never diverge between them."""
+    s_db = power_to_db(mel, max_axes=(-2, -1))
+    d = jnp.asarray(dsp_ref.dct_matrix(num_mfcc, n_mels).T)
+    m = jnp.swapaxes(
+        jnp.matmul(s_db, d, precision=jax.lax.Precision.HIGHEST), -1, -2
+    ) / 1000.0
     d1 = m[..., 2:, :] - m[..., 1:-1, :]
     d2 = d1[..., 1:, :] - d1[..., :-1, :]
     return jnp.concatenate((m, d1, d2), axis=-2)
+
+
+def get_mfcc_features(
+    audio: jax.Array, sr: int = 16000, num_mfcc: int = 14, n_mels: int = 128
+) -> jax.Array:
+    """(..., L) -> (..., 3*num_mfcc-5, T) combined MFCC+diff features,
+    matching reference utils/common.py:340-349."""
+    mel = mel_power_spectrogram(audio, sr=sr, n_mels=n_mels)
+    return mfcc_tail_from_mel(mel, num_mfcc, n_mels)
 
 
 def get_mfcc_features_fast(

@@ -74,7 +74,9 @@ def get_mfcc_features_batch(
     lib = _load_library()
     if lib is None:
         return np.stack([
-            dsp_ref.get_mfcc_features(a, sr=sr, num_mfcc=num_mfcc)
+            dsp_ref.get_mfcc_features(a, sr=sr, num_mfcc=num_mfcc,
+                                      n_mels=n_mels, n_fft=n_fft,
+                                      hop_length=hop)
             for a in audio
         ])
     audio = np.ascontiguousarray(audio, np.float32)
@@ -101,10 +103,11 @@ def extract_mel_spectrogram_batch(
     """(N, L) float32 -> (N, n_mels, 1 + L//hop) log-mel (ref=max)."""
     lib = _load_library()
     if lib is None:
-        return np.stack([
-            dsp_ref.extract_mel_spectrogram(a, sr=sr).astype(np.float32)
-            for a in audio
-        ])
+        def one(a):
+            mel = dsp_ref.melspectrogram(a, sr=sr, n_fft=n_fft,
+                                         hop_length=hop, n_mels=n_mels)
+            return dsp_ref.power_to_db(mel, ref=float(mel.max()))
+        return np.stack([one(a) for a in audio]).astype(np.float32)
     audio = np.ascontiguousarray(audio, np.float32)
     n_clips, n_samples = audio.shape
     n_frames = 1 + n_samples // hop

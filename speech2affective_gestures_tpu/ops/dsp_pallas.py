@@ -141,10 +141,4 @@ def get_mfcc_features(
 
     mel = mel_power_spectrogram(audio, sr=sr, n_mels=n_mels,
                                 interpret=interpret)
-    s_db = dsp.power_to_db(mel, max_axes=(-2, -1))
-    d = jnp.asarray(dsp_ref.dct_matrix(num_mfcc, n_mels).T)
-    m = jnp.swapaxes(jnp.matmul(s_db, d, precision=jax.lax.Precision.HIGHEST),
-                     -1, -2) / 1000.0
-    d1 = m[..., 2:, :] - m[..., 1:-1, :]
-    d2 = d1[..., 1:, :] - d1[..., :-1, :]
-    return jnp.concatenate((m, d1, d2), axis=-2)
+    return dsp.mfcc_tail_from_mel(mel, num_mfcc, n_mels)

@@ -156,21 +156,28 @@ def extract_mel_spectrogram(y: np.ndarray, sr: int = 16000) -> np.ndarray:
 
 
 def mfcc(
-    y: np.ndarray, sr: int = 16000, n_mfcc: int = 14, n_mels: int = 128
+    y: np.ndarray, sr: int = 16000, n_mfcc: int = 14, n_mels: int = 128,
+    n_fft: int = 2048, hop_length: int = 512,
 ) -> np.ndarray:
     """(n_mfcc, n_frames) MFCCs = DCT-II(ortho) of log-mel (librosa defaults:
     n_fft=2048, hop=512, power_to_db ref=1.0, top_db=80)."""
-    s_db = power_to_db(melspectrogram(y, sr=sr, n_mels=n_mels))
+    s_db = power_to_db(
+        melspectrogram(y, sr=sr, n_fft=n_fft, hop_length=hop_length,
+                       n_mels=n_mels)
+    )
     return dct_matrix(n_mfcc, n_mels) @ s_db
 
 
-def get_mfcc_features(audio: np.ndarray, sr: int = 16000, num_mfcc: int = 14) -> np.ndarray:
+def get_mfcc_features(audio: np.ndarray, sr: int = 16000, num_mfcc: int = 14,
+                      n_mels: int = 128, n_fft: int = 2048,
+                      hop_length: int = 512) -> np.ndarray:
     """(3*num_mfcc - 5, n_frames) combined MFCC features.
 
     Matches reference `utils/common.py:340-349`: MFCC/1000, then
     coefficient-axis differences m[2:]-m[1:-1] and d[1:]-d[:-1], concatenated.
     """
-    m = mfcc(audio, sr=sr, n_mfcc=num_mfcc) / 1000.0
+    m = mfcc(audio, sr=sr, n_mfcc=num_mfcc, n_mels=n_mels, n_fft=n_fft,
+             hop_length=hop_length) / 1000.0
     d1 = m[2:] - m[1:-1]
     d2 = d1[1:] - d1[:-1]
     return np.concatenate((m, d1, d2), axis=0)

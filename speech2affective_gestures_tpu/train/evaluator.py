@@ -60,10 +60,13 @@ class EmbeddingSpaceEvaluator:
         return cls(variables, **kw)
 
     def _embed_fn(self, poses):
-        _, _, _, feat, _, _, recon = self.net.apply(
-            self.variables, None, None, poses[:, : self.n_pre_poses], poses,
-            variational_encoding=False, train=False,
-        )
+        # evaluation numerics must match the torch reference: force f32
+        # matmuls (the TPU default is bf16-multiply, ~1e-2 drift per block)
+        with jax.default_matmul_precision("highest"):
+            _, _, _, feat, _, _, recon = self.net.apply(
+                self.variables, None, None, poses[:, : self.n_pre_poses],
+                poses, variational_encoding=False, train=False,
+            )
         return feat, recon
 
     def reset(self):

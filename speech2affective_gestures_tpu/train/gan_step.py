@@ -246,7 +246,17 @@ def make_train_step(
     def eval_step(state: TrainState, batch: dict, rng: jax.Array,
                   gan_on: bool = True):
         """Validation pass: eval-mode forwards (running BN stats, no dropout,
-        no updates), same loss stack; ref per_val_epoch processor_v2.py:993-1030."""
+        no updates), same loss stack; ref per_val_epoch processor_v2.py:993-1030.
+
+        Runs with f32 matmul precision: evaluation numbers (incl. converted
+        reference checkpoints) must not carry the training path's
+        bf16-multiply drift. Training itself keeps the fast TPU default.
+        """
+        with jax.default_matmul_precision("highest"):
+            return _eval_step_body(state, batch, rng, gan_on)
+
+    def _eval_step_body(state: TrainState, batch: dict, rng: jax.Array,
+                        gan_on: bool):
         in_text = batch["extended_word_seq"]
         target = batch["vec_seq"]
         in_mfcc = batch[cfg.generator_input]

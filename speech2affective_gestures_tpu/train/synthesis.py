@@ -106,9 +106,12 @@ def make_window_scan(gen_apply, cfg: ModelConfig, use_mfcc: bool = True):
             )
             return (out[0, -n_pre:], key), out[0]
 
-        (_, _), outs = jax.lax.scan(
-            step, (seed, rng), (feat_windows, text_windows)
-        )
+        # inference path: f32 matmuls for converted-checkpoint parity (the
+        # TPU default is bf16-multiply, ~1e-2 drift per stacked block)
+        with jax.default_matmul_precision("highest"):
+            (_, _), outs = jax.lax.scan(
+                step, (seed, rng), (feat_windows, text_windows)
+            )
         return outs
 
     return scan_fn
