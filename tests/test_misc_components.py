@@ -103,3 +103,40 @@ def test_main_v1_cli_synthetic(tmp_path):
     import os
 
     assert os.path.exists(os.path.join(logger.work_dir, "log.txt"))
+
+
+def test_fleiss_kappa_perfect_agreement():
+    from speech2affective_gestures_tpu.tools.stats import fleiss_kappa
+
+    # 5 subjects, all 4 raters agree -> kappa == 1
+    m = np.zeros((5, 3))
+    m[:3, 0] = 4
+    m[3:, 2] = 4
+    assert abs(fleiss_kappa(m) - 1.0) < 1e-9
+
+
+def test_fit_sinusoid_recovers_params():
+    from speech2affective_gestures_tpu.tools.stats import fit_sinusoid
+
+    t = np.linspace(0, 4, 400)
+    y = 2.0 * np.sin(2 * np.pi * 1.5 * t + 0.3) + 0.7
+    fit = fit_sinusoid(t, y)
+    assert abs(fit["freq"] - 1.5) < 1e-3
+    assert abs(fit["offset"] - 0.7) < 1e-3
+
+
+def test_extend_word_seq_remove_word_timing():
+    from speech2affective_gestures_tpu.data import ted_db
+    from speech2affective_gestures_tpu.data.vocab import Vocab
+
+    lang = Vocab("w")
+    for w in ("a", "b", "c"):
+        lang.index_word(w)
+    aux = {"start_time": 0.0, "end_time": 2.0}
+    words = [["a", 0.1, 0.3], ["b", 0.8, 1.0], ["c", 1.5, 1.7]]
+    seq = ted_db.extend_word_seq(20, lang, words, aux, remove_word_timing=True)
+    # evenly spaced slots: space = 20 // (3+1) = 5 -> indices 5, 10, 15
+    assert seq[5] == lang.get_word_index("a")
+    assert seq[10] == lang.get_word_index("b")
+    assert seq[15] == lang.get_word_index("c")
+    assert (seq != 0).sum() == 3
