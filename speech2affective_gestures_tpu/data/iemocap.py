@@ -14,6 +14,7 @@ in pure numpy — no python_speech_features dependency.
 
 from __future__ import annotations
 
+import functools
 import glob
 import os
 import re
@@ -47,6 +48,7 @@ def _round_half_up(x: float) -> int:
     )
 
 
+@functools.lru_cache(maxsize=None)
 def _filterbank_htk(nfilt: int, nfft: int, samplerate: int,
                     lowfreq: float = 0.0, highfreq: float | None = None):
     highfreq = highfreq or samplerate / 2

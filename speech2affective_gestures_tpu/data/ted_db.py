@@ -102,16 +102,30 @@ class PackedDataset:
     vid_indices: np.ndarray         # (N,) int64
     speaker_model: Vocab | None = None
     lang_model: Vocab | None = None
-    # non-packed sidecars for eval/rendering paths
+    # non-packed sidecars for the eval/rendering paths. These cover the
+    # FULL extended preprocessor window (n_poses*1.25 frames and its audio
+    # — the range aux_info's frame/time fields describe), unlike the packed
+    # arrays which are clipped to n_poses; clip stitching depends on that.
     word_seqs: list | None = None
     aux_info: list | None = None
-    pose_seqs: np.ndarray | None = None
+    pose_seqs: np.ndarray | None = None        # (N, T_ext, 10, 3)
+    raw_audio: np.ndarray | None = None        # (N, L_ext) int16
+    raw_audio_max: np.ndarray | None = None    # (N,)
 
     @property
     def n_samples(self) -> int:
         return len(self.vec_seq)
 
     def save_npz(self, path: str):
+        extras = {}
+        if self.aux_info is not None:
+            extras = {
+                "word_seqs": np.asarray(self.word_seqs, dtype=object),
+                "aux_info": np.asarray(self.aux_info, dtype=object),
+                "pose_seqs": self.pose_seqs,
+                "raw_audio": self.raw_audio,
+                "raw_audio_max": self.raw_audio_max,
+            }
         np.savez_compressed(
             path,
             extended_word_seq=self.extended_word_seq,
@@ -120,12 +134,14 @@ class PackedDataset:
             audio_max=self.audio_max,
             mfcc_features=self.mfcc_features,
             vid_indices=self.vid_indices,
+            **extras,
         )
 
     @classmethod
     def load_npz(cls, path: str, speaker_model=None, lang_model=None
                  ) -> "PackedDataset":
         npz = np.load(path, allow_pickle=True)
+        has_sidecars = "aux_info" in npz.files
         return cls(
             extended_word_seq=npz["extended_word_seq"],
             vec_seq=npz["vec_seq"].astype(np.float32),
@@ -135,6 +151,11 @@ class PackedDataset:
             vid_indices=npz["vid_indices"],
             speaker_model=speaker_model,
             lang_model=lang_model,
+            word_seqs=list(npz["word_seqs"]) if has_sidecars else None,
+            aux_info=list(npz["aux_info"]) if has_sidecars else None,
+            pose_seqs=npz["pose_seqs"] if has_sidecars else None,
+            raw_audio=npz["raw_audio"] if has_sidecars else None,
+            raw_audio_max=npz["raw_audio_max"] if has_sidecars else None,
         )
 
 
@@ -273,11 +294,17 @@ class DeviceBatchSampler(BatchSampler):
 
 def pack_samples(samples: list, cfg: ModelConfig, lang_model: Vocab,
                  speaker_model: Vocab,
-                 keep_sidecars: bool = False) -> PackedDataset:
+                 keep_sidecars: bool = False,
+                 remove_word_timing: bool = False) -> PackedDataset:
     n = len(samples)
     t = cfg.n_poses
     audio_len = cfg.expected_audio_length
     mfcc_len = cfg.mfcc_length
+
+    # sidecars keep the FULL extended preprocessor window (the range the
+    # aux_info frame/time fields describe), so clip stitching stays aligned
+    t_ext = int(round(t * 1.25)) if keep_sidecars else 0
+    audio_ext = int(t_ext / cfg.motion_resampling_framerate * C.AUDIO_SR)
 
     out = PackedDataset(
         extended_word_seq=np.zeros((n, t), np.int64),
@@ -290,7 +317,10 @@ def pack_samples(samples: list, cfg: ModelConfig, lang_model: Vocab,
         lang_model=lang_model,
         word_seqs=[] if keep_sidecars else None,
         aux_info=[] if keep_sidecars else None,
-        pose_seqs=np.zeros((n, t, C.NUM_JOINTS, 3), np.float32) if keep_sidecars else None,
+        pose_seqs=np.zeros((n, t_ext, C.NUM_JOINTS, 3), np.float32)
+        if keep_sidecars else None,
+        raw_audio=np.zeros((n, audio_ext), np.int16) if keep_sidecars else None,
+        raw_audio_max=np.zeros(n) if keep_sidecars else None,
     )
     for k, rec in enumerate(samples):
         word_seq, pose_seq, vec_seq, audio, _spec, mfcc, aux = rec
@@ -298,17 +328,23 @@ def pack_samples(samples: list, cfg: ModelConfig, lang_model: Vocab,
         amax = np.max(np.abs(audio))
         out.audio_max[k] = amax
         sample_end_time = aux["start_time"] + duration * t / len(vec_seq)
-        audio = make_audio_fixed_length(audio, audio_len)
-        out.extended_word_seq[k] = extend_word_seq(t, lang_model, word_seq, aux,
-                                                   sample_end_time)
+        clipped_audio = make_audio_fixed_length(audio, audio_len)
+        out.extended_word_seq[k] = extend_word_seq(
+            t, lang_model, word_seq, aux, sample_end_time,
+            remove_word_timing=remove_word_timing,
+        )
         out.vec_seq[k] = vec_seq[:t].reshape(t, -1)
-        out.audio[k] = np.int16(audio / max(amax, 1e-12) * 32767)
+        out.audio[k] = np.int16(clipped_audio / max(amax, 1e-12) * 32767)
         out.mfcc_features[k] = mfcc[:, :mfcc_len]
         out.vid_indices[k] = speaker_model.word2index[aux["vid"]]
         if keep_sidecars:
             out.word_seqs.append(word_seq)
             out.aux_info.append(aux)
-            out.pose_seqs[k] = pose_seq[:t].reshape(t, C.NUM_JOINTS, 3)
+            full = pose_seq.reshape(len(pose_seq), C.NUM_JOINTS, 3)
+            out.pose_seqs[k, : min(len(full), t_ext)] = full[:t_ext]
+            full_audio = make_audio_fixed_length(np.asarray(audio), audio_ext)
+            out.raw_audio_max[k] = amax
+            out.raw_audio[k] = np.int16(full_audio / max(amax, 1e-12) * 32767)
     return out
 
 
@@ -331,7 +367,12 @@ def build_dataset_from_videos(videos, cfg: ModelConfig,
             feat_dim=cfg.wordembed_dim, word_vec_path=cfg.wordembed_path,
         )
     speaker_model = make_speaker_vocab(sorted({rec[6]["vid"] for rec in samples}))
-    return pack_samples(samples, cfg, lang_model, speaker_model, keep_sidecars)
+    return pack_samples(
+        samples, cfg, lang_model, speaker_model, keep_sidecars,
+        # reference: remove_word_timing = (input_context == 'text'),
+        # loader_v2.py:596-606
+        remove_word_timing=(cfg.input_context == "text"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -426,24 +467,46 @@ def load_ted_db_data(base_path: str, cfg: ModelConfig,
         "test": cfg.test_data_path,
     }
     wanted = ["train", "val", "test"] if load_train_val else ["test"]
-    lang_model = None
-    for split in wanted:
+
+    def cache_path(split):
         lmdb_dir = os.path.join(base_path, paths[split])
-        cache = os.path.join(cache_dir or os.path.dirname(lmdb_dir),
-                             f"{split}_s2ag_tpu_packed_mfcc_{cfg.num_mfcc}.npz")
+        return lmdb_dir, os.path.join(
+            cache_dir or os.path.dirname(lmdb_dir),
+            f"{split}_s2ag_tpu_packed_mfcc_{cfg.num_mfcc}.npz",
+        )
+
+    # the word vocabulary spans ALL splits (reference build_vocab over
+    # train+val+test, loader_v2.py:619-625 / vocab_utils.py:11-35) —
+    # index every split's raw words before packing any of them
+    lang_model = None
+    if any(not os.path.exists(cache_path(s)[1]) for s in wanted):
+        def all_words():
+            for split in wanted:
+                lmdb_dir, _ = cache_path(split)
+                for video in iter_lmdb_videos(lmdb_dir):
+                    for clip in video["clips"]:
+                        yield [w[0] for w in clip["words"]]
+
+        lang_model = build_vocab(
+            "words", all_words(), feat_dim=cfg.wordembed_dim,
+            word_vec_path=cfg.wordembed_path,
+        )
+
+    for split in wanted:
+        lmdb_dir, cache = cache_path(split)
         vocab_cache = cache.replace(".npz", "_vocab.pkl")
         if os.path.exists(cache):
             with open(vocab_cache, "rb") as f:
-                lang_model, speaker_model = pickle.load(f)
+                cached_lang, speaker_model = pickle.load(f)
+            lang_model = lang_model or cached_lang
             splits[split] = PackedDataset.load_npz(
-                cache, speaker_model=speaker_model, lang_model=lang_model
+                cache, speaker_model=speaker_model, lang_model=cached_lang
             )
         else:
             ds = build_dataset_from_videos(
                 iter_lmdb_videos(lmdb_dir), cfg, lang_model=lang_model,
                 keep_sidecars=(split == "test"),
             )
-            lang_model = ds.lang_model
             ds.save_npz(cache)
             with open(vocab_cache, "wb") as f:
                 pickle.dump((ds.lang_model, ds.speaker_model), f)

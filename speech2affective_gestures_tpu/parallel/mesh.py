@@ -49,14 +49,12 @@ def replicate_state(state, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
 
 
-def data_parallel_step(step_fn, mesh: Mesh, axis_name: str = "data",
-                       donate_state: bool = True):
+def data_parallel_step(step_fn, mesh: Mesh, axis_name: str = "data"):
     """Wrap a jitted step(state, batch, rng, **static) for mesh execution.
 
     With NamedSharding-annotated inputs, jit partitions automatically: the
     batch stays sharded, state stays replicated, and cross-device gradient
-    reduction compiles to XLA all-reduce over ICI. `donate_state` lets XLA
-    reuse the old state's buffers for the new state (halves peak HBM).
+    reduction compiles to XLA all-reduce over ICI.
     """
     rep = replicated(mesh)
     shard = batch_sharding(mesh, axis_name)

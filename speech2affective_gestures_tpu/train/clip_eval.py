@@ -50,8 +50,11 @@ def stitch_test_clips(ds: PackedDataset):
     current = None
     for k in range(ds.n_samples):
         aux = ds.aux_info[k]
+        # sidecars cover the FULL extended window that aux's frame/time
+        # ranges describe (the packed arrays are clipped to n_poses)
         poses = ds.pose_seqs[k]
-        audio = (ds.audio[k].astype(np.float32) * ds.audio_max[k] / 32767.0)
+        audio = (ds.raw_audio[k].astype(np.float32)
+                 * ds.raw_audio_max[k] / 32767.0)
         words = [list(w) for w in ds.word_seqs[k]]
         frames = [aux["start_frame_no"], aux["end_frame_no"]]
         times = [aux["start_time"], aux["end_time"]]
@@ -150,6 +153,20 @@ class ClipRenderer:
                 sample_rate=sample_rate, fade_out=fade_out, use_mfcc=False,
                 scan_fn=self._tri_scan,
             )
+
+        if fade_out:
+            # the reference also polyfit-smooths the TARGET stream over the
+            # fade region (processor_v2.py:1359-1389)
+            _, _, end_padding = synthesis.prepare_window_inputs(
+                clip_audio, words, lang, cfg, sample_rate
+            )
+            start_f, end_f = synthesis.fade_frame_range(
+                len(out_dir_vec), end_padding, cfg, sample_rate
+            )
+            if 0 <= start_f and end_f <= len(target_dir_vec):
+                target_dir_vec = synthesis.polyfit_smooth(
+                    target_dir_vec.copy(), start_f, end_f
+                )
 
         prefix = f"{vid_name}_s{speaker_vid_idx}_{clip_time[0]:.2f}_{clip_time[1]:.2f}"
         sentence = " ".join(w[0] for w in clip_words)

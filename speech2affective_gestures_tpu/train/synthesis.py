@@ -136,23 +136,23 @@ def crossfade_windows(outs: np.ndarray, n_pre: int) -> np.ndarray:
     return np.concatenate(pieces, axis=0)
 
 
-def fade_out_poses(out_dir_vec: np.ndarray, end_padding_samples: int,
-                   cfg: ModelConfig, sample_rate: int = C.AUDIO_SR) -> np.ndarray:
-    """Fade to the mean pose + quadratic polyfit smoothing over the seam
-    (ref processor_v2.py:1334-1391)."""
-    n_smooth = cfg.n_pre_poses
-    start_frame = len(out_dir_vec) - int(
+def fade_frame_range(n_frames: int, end_padding_samples: int,
+                     cfg: ModelConfig, sample_rate: int = C.AUDIO_SR):
+    """The (start, end) frame window the fade-out smoothing covers
+    (ref processor_v2.py:1336-1339)."""
+    start = n_frames - int(
         end_padding_samples / sample_rate * cfg.motion_resampling_framerate
     )
-    end_frame = start_frame + n_smooth * 2
-    if len(out_dir_vec) < end_frame:
-        out_dir_vec = np.pad(
-            out_dir_vec, [(0, end_frame - len(out_dir_vec)), (0, 0)],
-            mode="constant",
-        )
-    out_dir_vec[end_frame - n_smooth :] = 0.0  # mean pose in normalized space
+    return start, start + cfg.n_pre_poses * 2
 
-    y = out_dir_vec[start_frame:end_frame]
+
+def polyfit_smooth(dir_vec: np.ndarray, start_frame: int,
+                   end_frame: int) -> np.ndarray:
+    """Quadratic weighted polyfit over [start, end) with pinned endpoints
+    (ref processor_v2.py:1358-1391; also applied to the TARGET stream)."""
+    y = dir_vec[start_frame:end_frame]
+    if len(y) < 3:
+        return dir_vec
     x = np.arange(y.shape[0])
     w = np.ones(len(y))
     w[0] = w[-1] = 5
@@ -160,8 +160,25 @@ def fade_out_poses(out_dir_vec: np.ndarray, end_padding_samples: int,
     interpolated = np.stack(
         [np.poly1d(coeffs[:, k])(x) for k in range(y.shape[1])], axis=1
     )
-    out_dir_vec[start_frame:end_frame] = interpolated
-    return out_dir_vec
+    dir_vec[start_frame:end_frame] = interpolated
+    return dir_vec
+
+
+def fade_out_poses(out_dir_vec: np.ndarray, end_padding_samples: int,
+                   cfg: ModelConfig, sample_rate: int = C.AUDIO_SR) -> np.ndarray:
+    """Fade to the mean pose + quadratic polyfit smoothing over the seam
+    (ref processor_v2.py:1334-1391)."""
+    n_smooth = cfg.n_pre_poses
+    start_frame, end_frame = fade_frame_range(
+        len(out_dir_vec), end_padding_samples, cfg, sample_rate
+    )
+    if len(out_dir_vec) < end_frame:
+        out_dir_vec = np.pad(
+            out_dir_vec, [(0, end_frame - len(out_dir_vec)), (0, 0)],
+            mode="constant",
+        )
+    out_dir_vec[end_frame - n_smooth :] = 0.0  # mean pose in normalized space
+    return polyfit_smooth(out_dir_vec, start_frame, end_frame)
 
 
 def synthesize_clip(

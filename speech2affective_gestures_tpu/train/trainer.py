@@ -289,16 +289,13 @@ class Trainer:
             n = max(n_dev, (n // n_dev) * n_dev)
         idx = (rng.choice(ds.n_samples, n, replace=False) if randomized
                else np.arange(n))
-        batch = {
-            "extended_word_seq": ds.extended_word_seq[idx].astype(np.int32),
-            "vec_seq": ds.vec_seq[idx].astype(np.float32),
-            "audio": (ds.audio[idx] * ds.audio_max[idx, None] / 32767.0
-                      ).astype(np.float32),
-            "mfcc_features": ds.mfcc_features[idx].astype(np.float32),
-            "vid_indices": rng.choice(
-                sorted(ds.speaker_model.word2index.values()), n
-            ).astype(np.int32),
-        }
+        from ..data.ted_db import decode_rows
+
+        batch = decode_rows(ds, idx)
+        # eval uses uniformly random speakers (ref processor_v2.py:724-726)
+        batch["vid_indices"] = rng.choice(
+            sorted(ds.speaker_model.word2index.values()), n
+        ).astype(np.int32)
         out, metrics = self.eval_step(
             self.state, self._put(batch), self._next_rng(),
             gan_on=self.epoch > self.gan_cfg.loss_warmup,
