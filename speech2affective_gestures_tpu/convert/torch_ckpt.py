@@ -245,14 +245,26 @@ def speaker_z(sd: StateDict, prefix_embed: str, prefix_mu: str, prefix_logvar: s
     }
 
 
-def pose_generator(sd: StateDict, n_layers: int = 4):
-    """PoseGenerator state dict -> (params, batch_stats)."""
+def pose_generator(sd: StateDict, n_layers: int = 4, variant: str = "s2ag"):
+    """PoseGenerator state dict -> (params, batch_stats).
+
+    variant: 's2ag' (MFCC + AffEncoder), 'abl_audio' (WavEncoder audio
+    path, net/multimodal_context_net_v2_abl_audio.py), 'abl_aff' (raw
+    pre-seq, no AffEncoder, ..._abl_aff.py)."""
     sd = strip_module_prefix(sd)
     params: dict[str, Any] = {}
     stats: dict[str, Any] = {}
-    params["audio_encoder"], stats["audio_encoder"] = mfcc_encoder(sd, "audio_encoder.")
+    if variant == "abl_audio":
+        params["audio_encoder"], stats["audio_encoder"] = wav_encoder(
+            sd, "audio_encoder."
+        )
+    else:
+        params["audio_encoder"], stats["audio_encoder"] = mfcc_encoder(
+            sd, "audio_encoder."
+        )
     params["text_encoder"], _ = text_encoder_tcn(sd, "text_encoder.", n_layers)
-    params["aff_encoder"], stats["aff_encoder"] = aff_encoder(sd, "aff_encoder.")
+    if variant != "abl_aff":
+        params["aff_encoder"], stats["aff_encoder"] = aff_encoder(sd, "aff_encoder.")
     if "speaker_embedding.0.weight" in sd:
         params["speaker_z"] = speaker_z(
             sd, "speaker_embedding", "speaker_mu", "speaker_log_var"
@@ -367,11 +379,15 @@ def load_pth_tar(path: str):
     }
 
 
-def convert_s2ag_checkpoint(blob: Mapping[str, Any]):
+def convert_s2ag_checkpoint(blob: Mapping[str, Any], variant: str = "s2ag"):
     """{'gen_model_dict', 'dis_model_dict'} -> flax variable trees for
-    (PoseGenerator, AffDiscriminator); ref processor_v2.py:1064-1069."""
-    gp, gs = pose_generator(blob["gen_model_dict"])
-    dp, ds = aff_discriminator(blob["dis_model_dict"])
+    (PoseGenerator, AffDiscriminator | ConvDiscriminator);
+    ref processor_v2.py:1064-1069 and the ablation processors."""
+    gp, gs = pose_generator(blob["gen_model_dict"], variant=variant)
+    if variant == "abl_aff":  # plain ConvDiscriminator (abl_aff.py:394)
+        dp, ds = conv_discriminator_trimodal(blob["dis_model_dict"])
+    else:
+        dp, ds = aff_discriminator(blob["dis_model_dict"])
     return (
         {"params": gp, "batch_stats": gs},
         {"params": dp, "batch_stats": ds},

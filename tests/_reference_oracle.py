@@ -71,3 +71,18 @@ def reference_v2_nets():
         return importlib.import_module("net.multimodal_context_net_v2")
     except Exception:
         return None
+
+
+def reference_abl_nets(which: str):
+    """Import an ablation model file ('abl_audio' | 'abl_aff') with the same
+    shims as reference_v2_nets."""
+    if reference_v2_nets() is None:
+        return None
+    import importlib
+
+    try:
+        return importlib.import_module(
+            f"net.multimodal_context_net_v2_{which}"
+        )
+    except Exception:
+        return None
