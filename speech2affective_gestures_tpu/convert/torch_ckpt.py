@@ -323,6 +323,55 @@ def conv_discriminator_trimodal(sd: StateDict):
     return params, stats
 
 
+def pose_generator_v1(sd: StateDict, n_layers: int = 4):
+    """v1 emotion-conditioned PoseGenerator (net/multimodal_context_net_v1.py
+    :261-360) — identical parameter structure to the trimodal generator
+    (emotion conditioning happens at forward time only)."""
+    return pose_generator_trimodal(sd, n_layers)
+
+
+def aff_discriminator_v1(sd: StateDict):
+    """v1 AffDiscriminator (net/multimodal_context_net_v1.py:363-463):
+    two ST-GCN stages (no per-node BN), conv1/conv2 + BN, emotion-aware GRU."""
+    sd = strip_module_prefix(sd)
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+    for name in ("st_gcn1", "st_gcn2"):
+        p, s = st_graph_conv(sd, f"{name}.")
+        params[name], stats[name] = p, s
+    params["conv1"] = _conv1d(sd, "conv1")
+    params["conv2"] = _conv1d(sd, "conv2")
+    p, s = _bn(sd, "batch_norm1")
+    params["bn1"], stats["bn1"] = p, s
+    p, s = _bn(sd, "batch_norm2")
+    params["bn2"], stats["bn2"] = p, s
+    params["gru"] = gru(sd, "gru.", 4, bidirectional=True)
+    params["out"] = _linear(sd, "out")
+    params["out2"] = _linear(sd, "out2")
+    return params, stats
+
+
+def att_conv_rnn(sd: StateDict):
+    """v1 SER AttConvRNN (net/ser_att_conv_rnn_v1.py:37-150)."""
+    sd = strip_module_prefix(sd)
+    params: dict[str, Any] = {
+        f"conv{i}": _conv2d(sd, f"conv{i}") for i in range(1, 7)
+    }
+    params["linear1"] = _linear(sd, "linear1")
+    p, s = _bn(sd, "batch_norm_linear1")
+    params["bn_linear1"] = p
+    stats = {"bn_linear1": s}
+    # the reference names its LSTM 'gru'; layout matches the GRU mapper
+    params["lstm"] = gru(sd, "gru.", 1, bidirectional=True)
+    params["attention"] = {
+        "Dense_0": _linear(sd, "attention.linear1"),
+        "Dense_1": _linear(sd, "attention.linear2"),
+    }
+    params["linear2"] = _linear(sd, "linear2")
+    params["linear3"] = _linear(sd, "linear3")
+    return params, stats
+
+
 def embedding_net_pose(sd: StateDict):
     """EmbeddingNet(mode='pose') state dict (ref net/embedding_net.py:262-274;
     the frozen FGD weights in outputs/embedding_net.pth.tar)."""

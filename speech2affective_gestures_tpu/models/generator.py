@@ -266,6 +266,8 @@ class PoseGeneratorV1(nn.Module):
         )(in_data, deterministic=not train)
         out = L.sum_bidirectional(out, self.hidden_size)
         out = L.Linear(self.hidden_size // 2, name="out1")(out)
-        out = L.leaky_relu(out, 0.01)
+        # reference v1: nn.LeakyReLU(True) => slope 1.0 => identity
+        # (net/multimodal_context_net_v1.py:299)
+        out = L.leaky_relu(out, 1.0)
         out = L.Linear(self.pose_dim, name="out2")(out)
         return out, z_context, z_mu, z_log_var
