@@ -38,6 +38,13 @@ class PackedDataSource(gp.RandomAccessDataSource):
         row["own_vid"] = np.int32(self._ds.vid_indices[idx])
         return row
 
+    def __repr__(self) -> str:
+        # grain validates repr(data_source) when restoring iterator state;
+        # identify the source by content geometry, not object identity
+        return (f"PackedDataSource(n={self._ds.n_samples}, "
+                f"vec={tuple(self._ds.vec_seq.shape)}, "
+                f"mfcc={tuple(self._ds.mfcc_features.shape)})")
+
 
 @dataclasses.dataclass
 class AdversarialSpeakers(gp.RandomMapTransform):

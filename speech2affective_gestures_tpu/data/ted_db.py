@@ -348,6 +348,27 @@ def pack_samples(samples: list, cfg: ModelConfig, lang_model: Vocab,
     return out
 
 
+def build_dataset_from_samples(samples, cfg: ModelConfig,
+                               lang_model: Vocab | None = None,
+                               keep_sidecars: bool = False) -> PackedDataset:
+    """Preprocessed sample records (the reference cache-lmdb schema
+    [words, poses, dir_vec, audio, spectrogram, mfcc, aux],
+    utils/data_preprocessor.py:175-178) -> packed arrays."""
+    samples = list(samples)
+    if lang_model is None:
+        lang_model = build_vocab(
+            "words", ([w[0] for w in rec[0]] for rec in samples),
+            feat_dim=cfg.wordembed_dim, word_vec_path=cfg.wordembed_path,
+        )
+    speaker_model = make_speaker_vocab(sorted({rec[6]["vid"] for rec in samples}))
+    return pack_samples(
+        samples, cfg, lang_model, speaker_model, keep_sidecars,
+        # reference: remove_word_timing = (input_context == 'text'),
+        # loader_v2.py:596-606
+        remove_word_timing=(cfg.input_context == "text"),
+    )
+
+
 def build_dataset_from_videos(videos, cfg: ModelConfig,
                               lang_model: Vocab | None = None,
                               keep_sidecars: bool = False) -> PackedDataset:
@@ -360,18 +381,8 @@ def build_dataset_from_videos(videos, cfg: ModelConfig,
         mean_dir_vec=cfg.mean_dir_vec_array,
         num_mfcc=cfg.num_mfcc,
     )
-    samples = list(pre.run(videos))
-    if lang_model is None:
-        lang_model = build_vocab(
-            "words", ([w[0] for w in rec[0]] for rec in samples),
-            feat_dim=cfg.wordembed_dim, word_vec_path=cfg.wordembed_path,
-        )
-    speaker_model = make_speaker_vocab(sorted({rec[6]["vid"] for rec in samples}))
-    return pack_samples(
-        samples, cfg, lang_model, speaker_model, keep_sidecars,
-        # reference: remove_word_timing = (input_context == 'text'),
-        # loader_v2.py:596-606
-        remove_word_timing=(cfg.input_context == "text"),
+    return build_dataset_from_samples(
+        pre.run(videos), cfg, lang_model, keep_sidecars
     )
 
 
@@ -432,25 +443,29 @@ def make_synthetic_videos(n_videos: int = 3, clip_seconds: float = 12.0,
 # original TED lmdb ingestion (gated on lmdb + pyarrow)
 # --------------------------------------------------------------------------
 
+def legacy_deserialize(value: bytes):
+    """Decode one pyarrow-0.14 ``serialize`` blob with whatever this
+    environment offers: pyarrow.deserialize when pyarrow<2 is installed,
+    otherwise the pure-python legacy reader (data/legacy_arrow.py)."""
+    if hasattr(pyarrow, "deserialize"):
+        return pyarrow.deserialize(value)
+    from . import legacy_arrow
+
+    return legacy_arrow.deserialize(value)
+
+
 def iter_lmdb_videos(lmdb_dir: str) -> Iterator[dict]:
     """Stream raw-schema videos from the original TED lmdb.
 
-    The TED caches were written with pyarrow 0.14's legacy serialize API;
-    pyarrow >= 2 removed deserialize entirely, so require it explicitly
-    rather than crashing mid-stream."""
+    The TED caches were written with pyarrow 0.14's legacy serialize API
+    (reference utils/data_preprocessor.py:175-178); decoded by
+    legacy_deserialize, which works on ANY modern pyarrow."""
     if lmdb is None or pyarrow is None:
         raise ImportError("lmdb/pyarrow are required to read TED caches")
-    if not hasattr(pyarrow, "deserialize"):
-        raise ImportError(
-            "the original TED lmdb caches use pyarrow's legacy serialize "
-            f"format; pyarrow {pyarrow.__version__} removed deserialize — "
-            "install pyarrow<2 (the reference pins 0.14) or re-export the "
-            "caches"
-        )
     env = lmdb.open(lmdb_dir, readonly=True, lock=False)
     with env.begin(write=False) as txn:
         for _key, value in txn.cursor():
-            yield pyarrow.deserialize(value)
+            yield legacy_deserialize(value)
     env.close()
 
 
@@ -511,4 +526,93 @@ def load_ted_db_data(base_path: str, cfg: ModelConfig,
             with open(vocab_cache, "wb") as f:
                 pickle.dump((ds.lang_model, ds.speaker_model), f)
             splits[split] = ds
+    return splits
+
+
+# --------------------------------------------------------------------------
+# exported-archive ingestion (tools/export_ted_cache.py output): lmdb-free
+# --------------------------------------------------------------------------
+
+EXPORT_MANIFEST = "manifest.json"
+
+
+def read_export_manifest(exported_dir: str) -> dict:
+    import json
+
+    with open(os.path.join(exported_dir, EXPORT_MANIFEST)) as f:
+        return json.load(f)
+
+
+def iter_exported_records(exported_dir: str, split: str) -> Iterator:
+    """Stream records (raw video dicts or preprocessed sample lists) from a
+    tools/export_ted_cache.py archive: gzip'd pickle shards + manifest."""
+    import gzip
+
+    manifest = read_export_manifest(exported_dir)
+    info = manifest["splits"][split]
+    for shard in range(info["shards"]):
+        path = os.path.join(exported_dir, f"{split}_{shard:04d}.pkl.gz")
+        with gzip.open(path, "rb") as f:
+            yield from pickle.load(f)
+
+
+def load_exported_data(exported_dir: str, cfg: ModelConfig,
+                       load_train_val: bool = True,
+                       cache_dir: str | None = None):
+    """Three packed splits from an exported archive — the modern-environment
+    replacement for the reference's lmdb ingestion (two-command recipe:
+    tools/export_ted_cache.py in any env with lmdb, then this). Handles both
+    export levels: 'raw' (video dicts -> full preprocessing) and 'cache'
+    (the reference's already-windowed sample records -> packing only)."""
+    manifest = read_export_manifest(exported_dir)
+    level = manifest.get("level", "raw")
+    wanted = [s for s in
+              (["train", "val", "test"] if load_train_val else ["test"])
+              if s in manifest["splits"]]
+    out_dir = cache_dir or exported_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    def cache_path(split):
+        return os.path.join(
+            out_dir, f"{split}_s2ag_tpu_packed_mfcc_{cfg.num_mfcc}.npz"
+        )
+
+    def split_words(split):
+        if level == "raw":
+            for video in iter_exported_records(exported_dir, split):
+                for clip in video["clips"]:
+                    yield [w[0] for w in clip["words"]]
+        else:
+            for rec in iter_exported_records(exported_dir, split):
+                yield [w[0] for w in rec[0]]
+
+    # shared word vocab across all splits (ref vocab_utils.py:11-35)
+    lang_model = None
+    if any(not os.path.exists(cache_path(s)) for s in wanted):
+        lang_model = build_vocab(
+            "words", (ws for s in wanted for ws in split_words(s)),
+            feat_dim=cfg.wordembed_dim, word_vec_path=cfg.wordembed_path,
+        )
+
+    splits = {}
+    for split in wanted:
+        cache = cache_path(split)
+        vocab_cache = cache.replace(".npz", "_vocab.pkl")
+        if os.path.exists(cache):
+            with open(vocab_cache, "rb") as f:
+                cached_lang, speaker_model = pickle.load(f)
+            lang_model = lang_model or cached_lang
+            splits[split] = PackedDataset.load_npz(
+                cache, speaker_model=speaker_model, lang_model=cached_lang
+            )
+            continue
+        records = iter_exported_records(exported_dir, split)
+        build = (build_dataset_from_videos if level == "raw"
+                 else build_dataset_from_samples)
+        ds = build(records, cfg, lang_model=lang_model,
+                   keep_sidecars=(split == "test"))
+        ds.save_npz(cache)
+        with open(vocab_cache, "wb") as f:
+            pickle.dump((ds.lang_model, ds.speaker_model), f)
+        splits[split] = ds
     return splits

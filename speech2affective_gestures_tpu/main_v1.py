@@ -148,7 +148,7 @@ def main(argv=None):
         dvars = dis.init(jax.random.key(5), jnp.asarray(batch["vec_seq"]), emo0)
         gan_cfg = GanConfig(
             learning_rate=cfg.learning_rate, z_type=cfg.z_type,
-            n_pre_poses=cfg.n_pre_poses,
+            n_pre_poses=cfg.n_pre_poses, n_speakers=n_speakers,
         )
         state = create_train_state(gvars, dvars, gan_cfg)
         step = ser_trainer.make_s2eg_train_step(gen.apply, dis.apply, gan_cfg)

@@ -53,8 +53,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-worker", type=int, default=4)
     p.add_argument("--s2ag-start-epoch", type=int, default=0)
     p.add_argument("--s2ag-num-epoch", type=int, default=500)
+    # parsed for reference-CLI compatibility; the reference itself never
+    # applies either (its adjust_lr_s2ag call is commented out,
+    # processor_v2.py:991, and gradient-clip is parsed-and-dropped). Pass
+    # --apply-lr-decay/--apply-gradient-clip true to actually enable them.
     p.add_argument("--lr-s2ag-decay", type=float, default=0.999)
     p.add_argument("--gradient-clip", type=float, default=0.1)
+    p.add_argument("--apply-lr-decay", type=str2bool, default=False,
+                   help="enable per-epoch exponential LR decay by "
+                        "--lr-s2ag-decay (off = reference parity)")
+    p.add_argument("--apply-gradient-clip", type=str2bool, default=False,
+                   help="enable global-norm gradient clipping at "
+                        "--gradient-clip (off = reference parity)")
+    p.add_argument("--loader", type=str, default="device",
+                   choices=("device", "grain"),
+                   help="training input pipeline: 'device' keeps the packed "
+                        "split in HBM with on-device gathers; 'grain' uses "
+                        "the multiprocess checkpointable grain loader "
+                        "(mid-epoch resume)")
     p.add_argument("--val-interval", type=int, default=1)
     p.add_argument("--log-interval", type=int, default=200)
     p.add_argument("--save-interval", type=int, default=10)
@@ -69,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="frozen FGD embedding net .pth.tar")
     p.add_argument("--synthetic-data", type=str2bool, default=False,
                    help="use the synthetic corpus instead of TED lmdb")
+    p.add_argument("--packed-data", type=str, default="",
+                   help="directory of a tools/export_ted_cache.py archive "
+                        "(manifest.json + pickle shards) — loads the TED "
+                        "splits without lmdb/pyarrow-0.14")
     p.add_argument("--print-log", action="store_true", default=True)
     p.add_argument("--save-log", action="store_true", default=True)
     return p
@@ -95,6 +115,11 @@ def load_datasets(args, cfg: ModelConfig):
             )
 
         return subset(idx[:cut1]), subset(idx[cut1:cut2]), subset(idx[cut2:])
+    if args.packed_data:
+        splits = ted_db.load_exported_data(
+            args.packed_data, cfg, load_train_val=args.train_s2ag
+        )
+        return splits.get("train"), splits.get("val"), splits.get("test")
     data_path = jn(args.base_path, "..", "data")
     splits = ted_db.load_ted_db_data(
         jn(data_path, args.dataset_s2ag), cfg, load_train_val=args.train_s2ag
@@ -131,8 +156,23 @@ def main(argv=None, variant: str = "s2ag"):
         seed=cfg.random_seed,
         evaluator=evaluator,
         variant=variant,
+        gradient_clip=args.gradient_clip if args.apply_gradient_clip else 0.0,
+        lr_decay=args.lr_s2ag_decay if args.apply_lr_decay else 1.0,
+        loader=args.loader,
     )
     trainer.logger.save_arg(vars(args))
+    if not args.apply_lr_decay:
+        trainer.logger.print_log(
+            "--lr-s2ag-decay accepted for compatibility but UNUSED (the "
+            "reference's adjust_lr_s2ag call is commented out, "
+            "processor_v2.py:991); pass --apply-lr-decay true to enable."
+        )
+    if not args.apply_gradient_clip:
+        trainer.logger.print_log(
+            "--gradient-clip accepted for compatibility but UNUSED (the "
+            "reference parses and drops it); pass --apply-gradient-clip "
+            "true to enable."
+        )
 
     if args.trimodal_checkpoint:
         trainer.load_trimodal_torch_checkpoint(args.trimodal_checkpoint)

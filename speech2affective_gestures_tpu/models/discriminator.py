@@ -24,13 +24,16 @@ class AffDiscriminator(nn.Module):
 
     n_poses: int = C.N_POSES
     hidden_size: int = 64
+    # the reference hardcodes 0.3 (net/multimodal_context_net_v2.py:560);
+    # configurable here only so determinism tests can zero it
+    dropout_prob: float = 0.3
 
     @nn.compact
     def __call__(self, poses, in_text=None, train: bool = False):
         feat = AffEncoder(name="aff_encoder")(poses, train=train)  # (B,T,8)
         out, _ = L.GRU(
-            self.hidden_size, num_layers=4, bidirectional=True, dropout=0.3,
-            name="gru",
+            self.hidden_size, num_layers=4, bidirectional=True,
+            dropout=self.dropout_prob, name="gru",
         )(feat, deterministic=not train)
         out = L.sum_bidirectional(out, self.hidden_size)
         out = L.Linear(1, name="out")(out)[..., 0]       # (B, T)
@@ -42,6 +45,7 @@ class ConvDiscriminatorTriModal(nn.Module):
     """TriModal conv discriminator; poses (B, 34, pose_dim) -> (B, 1)."""
 
     hidden_size: int = 64
+    dropout_prob: float = 0.3  # hardcoded 0.3 upstream (:407)
 
     @nn.compact
     def __call__(self, poses, in_text=None, train: bool = False):
@@ -55,8 +59,8 @@ class ConvDiscriminatorTriModal(nn.Module):
         x = L.Conv1d(8, 3, name="pre_conv3")(x)         # (B, T-6, 8)
 
         out, _ = L.GRU(
-            self.hidden_size, num_layers=4, bidirectional=True, dropout=0.3,
-            name="gru",
+            self.hidden_size, num_layers=4, bidirectional=True,
+            dropout=self.dropout_prob, name="gru",
         )(x, deterministic=not train)
         out = L.sum_bidirectional(out, self.hidden_size)
         out = L.Linear(1, name="out")(out)[..., 0]       # (B, T-6)

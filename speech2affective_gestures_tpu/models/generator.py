@@ -69,6 +69,10 @@ class PoseGenerator(nn.Module):
     hidden_size: int = 300          # hidden_size_s2eg
     n_layers: int = 4
     dropout_prob: float = 0.3
+    # the text encoder's embedding dropout is a fixed 0.1 upstream
+    # (net/multimodal_context_net_v2.py:64); configurable here only so
+    # determinism tests can zero it
+    emb_dropout: float = 0.1
     input_context: str = "both"     # both | audio | text | none
     z_type: str = "speaker"         # speaker | random | none
     n_speakers: int = 1
@@ -107,6 +111,7 @@ class PoseGenerator(nn.Module):
                 dropout=self.dropout_prob,
                 word_embeddings=self.word_embeddings,
                 freeze_embedding=self.freeze_embedding,
+                emb_dropout=self.emb_dropout,
                 name="text_encoder",
             )(in_text, train=train)
             feats.append(text_feat)

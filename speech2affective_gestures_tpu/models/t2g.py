@@ -90,6 +90,10 @@ class DecoderLayer(nn.Module):
 class T2GNet(nn.Module):
     num_tokens: int
     max_time_steps: int
+    # frozen pretrained word table (the T2GNet_glove variant,
+    # net/T2GNet_glove.py:46: nn.Embedding.from_pretrained(freeze=True));
+    # held as a constant, not a parameter, so it takes no gradient
+    embedding_table: np.ndarray | None = None
     text_dim: int = 64
     quat_dim: int = 64
     quat_channels: int = 4
@@ -109,7 +113,11 @@ class T2GNet(nn.Module):
         quat (B, T, quat_dim) teacher frames; offset_lengths (B, offsets_dim).
         Returns (quat_pred normalized, pre-norm)."""
         b, s = text.shape
-        emb = L.Embed(self.num_tokens, self.text_dim, name="text_embedding")(text)
+        if self.embedding_table is not None:
+            emb = jnp.take(jnp.asarray(self.embedding_table), text, axis=0)
+        else:
+            emb = L.Embed(self.num_tokens, self.text_dim,
+                          name="text_embedding")(text)
         emb = emb * math.sqrt(self.text_dim)
         pe = jnp.asarray(positional_encoding(s, self.text_dim))
         x = nn.Dropout(self.dropout)(emb + pe[None], deterministic=not train)
@@ -154,3 +162,26 @@ class T2GNet(nn.Module):
             jnp.linalg.norm(flat, axis=1, keepdims=True), 1e-12
         )
         return normed.reshape(pre_norm.shape), pre_norm
+
+
+def t2g_net_glove(embedding_table: np.ndarray, max_time_steps: int,
+                  quat_dim: int = 64, quat_channels: int = 4,
+                  offsets_dim: int = 20,
+                  tag_dims: tuple[int, ...] = (7, 3, 2, 2, 4, 2, 3),
+                  num_heads: int = 4, num_hidden_units: int = 256,
+                  num_layers: int = 2, dropout: float = 0.5) -> T2GNet:
+    """The T2GNet_glove variant (net/T2GNet_glove.py:36-57): a frozen
+    pretrained (GloVe) word table and a SINGLE heads/units/layers setting
+    shared by encoder and decoder."""
+    table = np.asarray(embedding_table, np.float32)
+    return T2GNet(
+        num_tokens=table.shape[0], max_time_steps=max_time_steps,
+        embedding_table=table, text_dim=table.shape[1],
+        quat_dim=quat_dim, quat_channels=quat_channels,
+        offsets_dim=offsets_dim, tag_dims=tag_dims,
+        num_heads_enc=num_heads, num_heads_dec=num_heads,
+        num_hidden_units_enc=num_hidden_units,
+        num_hidden_units_dec=num_hidden_units,
+        num_layers_enc=num_layers, num_layers_dec=num_layers,
+        dropout=dropout,
+    )

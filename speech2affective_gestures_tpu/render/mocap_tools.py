@@ -178,3 +178,79 @@ def numpyfy(data: MocapData) -> np.ndarray:
     return np.concatenate(
         [data.root_positions, data.rotations.reshape(l, j * 4)], axis=1
     )
+
+
+# --------------------------------------------------------------------------
+# foot-contact features (pymo.features, utils/pymo/features.py:12-33)
+# --------------------------------------------------------------------------
+
+def peak_indexes(y: np.ndarray, thres: float = 0.3,
+                 min_dist: int = 1) -> np.ndarray:
+    """Local-maxima indices with a normalized threshold and minimum
+    separation — the peakutils.indexes semantics the reference's
+    features.py relies on (peakutils is not vendored; reimplemented):
+    peaks are strict local maxima above thres*(max-min)+min, and when two
+    peaks fall within min_dist of each other only the higher survives."""
+    y = np.asarray(y, float)
+    if len(y) < 3:
+        return np.array([], int)
+    floor = thres * (y.max() - y.min()) + y.min()
+    rising = y[1:-1] > y[:-2]
+    falling = y[1:-1] > y[2:]
+    candidates = np.where(rising & falling & (y[1:-1] > floor))[0] + 1
+    if min_dist > 1 and len(candidates) > 1:
+        keep = np.ones(len(candidates), bool)
+        order = np.argsort(-y[candidates])  # highest first
+        for rank in order:
+            if not keep[rank]:
+                continue
+            too_close = np.abs(candidates - candidates[rank]) < min_dist
+            too_close[rank] = False
+            keep &= ~too_close
+        candidates = np.sort(candidates[keep])
+    return candidates
+
+
+def foot_contact_idxs(signal: np.ndarray, t: float = 0.02,
+                      min_dist: int = 120):
+    """[up_idxs, down_idxs] of a foot-height signal
+    (features.get_foot_contact_idxs, :12-16)."""
+    signal = np.asarray(signal, float)
+    up = peak_indexes(signal, thres=t / signal.max(), min_dist=min_dist)
+    down = peak_indexes(-signal, thres=t / signal.min(), min_dist=min_dist)
+    return [up, down]
+
+
+def foot_contact_signal(signal: np.ndarray, start: int = 1, t: float = 0.02,
+                        min_dist: int = 120) -> list:
+    """Binary contact track: 0 after a down-peak, 1 after an up-peak
+    (features.create_foot_contact_signal, :19-33). Accepts a plain 1-D
+    height signal (the reference pulls it from a pandas track)."""
+    signal = np.asarray(signal, float)
+    up, down = foot_contact_idxs(signal, t, min_dist)
+    up_set, down_set = set(up.tolist()), set(down.tolist())
+    out, c = [], start
+    for f in range(len(signal)):
+        if f in down_set:
+            c = 0
+        elif f in up_set:
+            c = 1
+        out.append(c)
+    return out
+
+
+def plot_foot_up_down(signal: np.ndarray, t: float = 0.02,
+                      min_dist: int = 120, ax=None):
+    """features.plot_foot_up_down (:35-42) on a matplotlib axis."""
+    import matplotlib
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    signal = np.asarray(signal, float)
+    up, down = foot_contact_idxs(signal, t, min_dist)
+    ax = ax or plt.gca()
+    frames = np.arange(len(signal))
+    ax.plot(frames, signal)
+    ax.plot(frames[up], signal[up], "ro")
+    ax.plot(frames[down], signal[down], "go")
+    return ax

@@ -92,6 +92,9 @@ def init_training(
     word_embeddings: np.ndarray | None = None,
     with_trimodal: bool = True,
     variant: str = "s2ag",
+    gradient_clip: float = 0.0,
+    lr_decay: float = 1.0,
+    decay_steps_per_epoch: int = 0,
 ):
     """Build modules, init variables, create TrainState + step fns."""
     gen, dis, tri = build_models(cfg, n_words, n_speakers, word_embeddings,
@@ -125,7 +128,11 @@ def init_training(
         discriminator_lr_weight=cfg.discriminator_lr_weight,
         z_type=cfg.z_type,
         n_pre_poses=cfg.n_pre_poses,
+        n_speakers=n_speakers,
         generator_input=gen_audio_key,
+        gradient_clip=gradient_clip,
+        lr_decay=lr_decay,
+        decay_steps_per_epoch=decay_steps_per_epoch,
     )
     state = create_train_state(gen_vars, dis_vars, gan_cfg, tri_vars)
     train_step, eval_step = make_train_step(

@@ -93,6 +93,42 @@ class EmbeddingSpaceEvaluator:
         feat_dist = float(np.mean(np.sum(np.abs(real - generated), axis=1)))
         return frechet_dist, feat_dist
 
+    def get_features_for_viz(self) -> tuple[np.ndarray, np.ndarray]:
+        """2-D projection of (real, generated) embedding features for
+        visualization (ref net/embedding_space_evaluator.py:63-72). Uses
+        UMAP when installed (the reference's choice), PCA otherwise — the
+        projection backend is a viz detail, not a metric."""
+        generated = np.vstack(self.generated_feat_list)
+        real = np.vstack(self.real_feat_list)
+        both = np.vstack((generated, real))
+        try:
+            import umap
+
+            transformed = umap.UMAP().fit_transform(both)
+        except ImportError:
+            from sklearn.decomposition import PCA
+
+            transformed = PCA(n_components=2).fit_transform(both)
+        n = transformed.shape[0] // 2
+        return transformed[n:], transformed[:n]  # (real, generated)
+
+    def draw_embedding_space(self, output_path: str):
+        """Scatter plot of the 2-D embedding space (real vs generated)."""
+        import matplotlib
+
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        real2d, gen2d = self.get_features_for_viz()
+        fig, ax = plt.subplots(figsize=(6, 6))
+        ax.scatter(real2d[:, 0], real2d[:, 1], s=6, alpha=0.5, label="real")
+        ax.scatter(gen2d[:, 0], gen2d[:, 1], s=6, alpha=0.5, label="generated")
+        ax.legend()
+        ax.set_title("gesture embedding space")
+        fig.savefig(output_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return output_path
+
     @staticmethod
     def frechet_distance(samples_a: np.ndarray, samples_b: np.ndarray) -> float:
         mu_a, mu_b = samples_a.mean(0), samples_b.mean(0)

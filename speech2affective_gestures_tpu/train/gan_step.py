@@ -46,13 +46,50 @@ class GanConfig:
     discriminator_lr_weight: float = 0.2
     z_type: str = "speaker"
     n_pre_poses: int = C.N_PRE_POSES
+    # size of the speaker vocab; when >1 the diversity regularizer draws a
+    # FRESH random speaker id excluding each sample's own (the reference's
+    # np.setdiff1d draw, processor_v2.py:625-636). 0 falls back to an
+    # in-batch permutation (only used when the vocab size is unknown).
+    n_speakers: int = 0
     # which batch field feeds the generator's audio input: 'mfcc_features'
     # for the paper model, 'audio' for the abl_audio WavEncoder ablation
     generator_input: str = "mfcc_features"
+    # optional global-norm gradient clipping (the reference parses
+    # --gradient-clip but never applies it; 0.0 = off = reference parity)
+    gradient_clip: float = 0.0
+    # optional per-epoch exponential LR decay lr*decay**epoch (the
+    # reference's adjust_lr_s2ag call is commented out at
+    # processor_v2.py:991; 1.0 = off = reference parity). Applied as a
+    # step-indexed schedule, so decay_steps_per_epoch must be set too.
+    lr_decay: float = 1.0
+    decay_steps_per_epoch: int = 0
 
     @property
     def lr_dis(self) -> float:
         return self.learning_rate * self.discriminator_lr_weight
+
+
+def _lr_schedule(base_lr: float, cfg: "GanConfig"):
+    if cfg.lr_decay != 1.0 and cfg.decay_steps_per_epoch > 0:
+        return lambda step: base_lr * cfg.lr_decay ** (
+            step // cfg.decay_steps_per_epoch
+        )
+    return base_lr
+
+
+def make_optimizers(cfg: "GanConfig"):
+    """The G/D Adam pair (ref processor_v2.py:215-220: Adam(lr, 0.5, 0.999)
+    and Adam(lr*0.2)), optionally wrapped with global-norm clipping and a
+    per-epoch exponential LR schedule (both default-off, see GanConfig)."""
+    def one(base_lr):
+        tx = optax.adam(_lr_schedule(base_lr, cfg), b1=0.5, b2=0.999)
+        if cfg.gradient_clip > 0.0:
+            tx = optax.chain(
+                optax.clip_by_global_norm(cfg.gradient_clip), tx
+            )
+        return tx
+
+    return one(cfg.learning_rate), one(cfg.lr_dis)
 
 
 class TrainState(struct.PyTreeNode):
@@ -78,11 +115,31 @@ def build_pre_seq(target_poses: jax.Array, n_pre_poses: int) -> jax.Array:
     return poses * mask
 
 
+def draw_other_speaker_ids(key: jax.Array, vids: jax.Array,
+                           n_speakers: int) -> jax.Array:
+    """Fresh uniform draw over the speaker vocab, excluding each sample's
+    current id, for the diversity-regularizer second pass.
+
+    The reference permutes the batch's ids (torch.randperm,
+    processor_v2.py:902-903), which can fix-point (same id -> z-distance ~0
+    -> degenerate div-reg term for that sample) with small batches or few
+    speakers; a fresh exclude-current draw has the same intent (ids drawn
+    from the setdiff pool like yield_batch's, processor_v2.py:625-636) and
+    is provably never degenerate. Drawing in [0, V-1) and shifting past the
+    current id keeps it one on-device op. Falls back to an in-batch
+    permutation when the vocab size is unknown (n_speakers == 0)."""
+    if n_speakers > 1:
+        draw = jax.random.randint(key, vids.shape, 0, n_speakers - 1,
+                                  dtype=vids.dtype)
+        return draw + (draw >= vids).astype(vids.dtype)
+    perm = jax.random.permutation(key, vids.shape[0])
+    return vids[perm]
+
+
 def create_train_state(
     gen_variables, dis_variables, cfg: GanConfig, tri_variables=None
 ) -> TrainState:
-    gopt = optax.adam(cfg.learning_rate, b1=0.5, b2=0.999)
-    dopt = optax.adam(cfg.lr_dis, b1=0.5, b2=0.999)
+    gopt, dopt = make_optimizers(cfg)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         gen_params=gen_variables["params"],
@@ -110,8 +167,7 @@ def make_train_step(
     flax apply fns; `gan_on` is a static bool implementing the warmup gate
     `epoch > loss_warmup` (ref processor_v2.py:793,936).
     """
-    gopt = optax.adam(cfg.learning_rate, b1=0.5, b2=0.999)
-    dopt = optax.adam(cfg.lr_dis, b1=0.5, b2=0.999)
+    gopt, dopt = make_optimizers(cfg)
 
     def gen_fwd(params, stats, pre_seq, in_text, in_mfcc, vids, rng):
         r_noise, r_drop = jax.random.split(rng)
@@ -123,6 +179,9 @@ def make_train_step(
             mutable=["batch_stats"],
         )
         return out, z, mu, logvar, mut["batch_stats"]
+
+    def draw_other_speakers(key, vids):
+        return draw_other_speaker_ids(key, vids, cfg.n_speakers)
 
     def dis_fwd(params, stats, poses, in_text, rng):
         prob, mut = dis_apply(
@@ -182,8 +241,7 @@ def make_train_step(
 
             if cfg.z_type in ("speaker", "random") and cfg.loss_reg_weight > 0.0:
                 if cfg.z_type == "speaker":
-                    perm = jax.random.permutation(rngs[4], vids.shape[0])
-                    rand_vids = vids[perm]
+                    rand_vids = draw_other_speakers(rngs[4], vids)
                 else:
                     rand_vids = None
                 out_rand, z_rand, *_, gstats = gen_fwd(
@@ -284,8 +342,7 @@ def make_train_step(
         metrics["loss"] = cfg.loss_regression_weight * huber
         if cfg.z_type in ("speaker", "random") and cfg.loss_reg_weight > 0.0:
             if cfg.z_type == "speaker":
-                perm = jax.random.permutation(rngs[1], vids.shape[0])
-                rand_vids = vids[perm]
+                rand_vids = draw_other_speakers(rngs[1], vids)
             else:
                 rand_vids = None
             out_rand, z_rand, *_ = gen_eval(rand_vids, rngs[2])

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from . import losses
+from . import gan_step, losses
 from .gan_step import GanConfig, build_pre_seq
 
 
@@ -88,8 +88,7 @@ def make_s2eg_train_step(gen_apply: Callable, dis_apply: Callable,
                          cfg: GanConfig):
     """v1 GAN step: generator/discriminator signatures carry in_emo_labels
     (ref forward_pass_s2eg, processor.py:681-836)."""
-    gopt = optax.adam(cfg.learning_rate, b1=0.5, b2=0.999)
-    dopt = optax.adam(cfg.lr_dis, b1=0.5, b2=0.999)
+    gopt, dopt = gan_step.make_optimizers(cfg)
 
     def gen_fwd(params, stats, pre_seq, text, audio, emo, vids, rng):
         r_noise, r_drop = jax.random.split(rng)
@@ -146,9 +145,11 @@ def make_s2eg_train_step(gen_apply: Callable, dis_apply: Callable,
             loss = cfg.loss_regression_weight * huber
             aux = {"loss": cfg.loss_regression_weight * huber}
             if cfg.z_type == "speaker" and cfg.loss_reg_weight > 0.0:
-                perm = jax.random.permutation(rngs[4], vids.shape[0])
+                rand_vids = gan_step.draw_other_speaker_ids(
+                    rngs[4], vids, cfg.n_speakers
+                )
                 out_rand, z_rand, *_, gstats = gen_fwd(
-                    gp, gstats, pre_seq, text, audio, emo, vids[perm], rngs[5]
+                    gp, gstats, pre_seq, text, audio, emo, rand_vids, rngs[5]
                 )
                 div = losses.diversity_regularizer(out, out_rand, z, z_rand)
                 kld = losses.kld_speaker(mu, logvar)

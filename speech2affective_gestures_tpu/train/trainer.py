@@ -85,6 +85,9 @@ class Trainer:
         evaluator: EmbeddingSpaceEvaluator | None = None,
         variant: str = "s2ag",
         check_finite: bool = True,
+        gradient_clip: float = 0.0,
+        lr_decay: float = 1.0,
+        loader: str = "device",
     ):
         self.cfg = cfg
         self.work_dir = work_dir
@@ -107,10 +110,15 @@ class Trainer:
         word_embeddings = (
             ref.lang_model.word_embedding_weights if ref and ref.lang_model else None
         )
+        steps_per_epoch = 0
+        if train_data is not None and train_data.n_samples >= cfg.batch_size:
+            steps_per_epoch = train_data.n_samples // cfg.batch_size
         setup = builder.init_training(
             cfg, jax.random.key(max(seed, 0)), n_words=n_words,
             n_speakers=n_speakers, word_embeddings=word_embeddings,
             variant=variant,
+            gradient_clip=gradient_clip, lr_decay=lr_decay,
+            decay_steps_per_epoch=steps_per_epoch if lr_decay != 1.0 else 0,
         )
         self.variant = variant
         self.gen, self.dis, self.tri = setup["gen"], setup["dis"], setup["tri"]
@@ -142,6 +150,24 @@ class Trainer:
         self.epoch = 0
         self._ckptr = ocp.StandardCheckpointer()
 
+        # optional grain input pipeline (multiprocess prefetch + mid-epoch
+        # checkpointable iterator state; data/grain_loader.py). The iterator
+        # is persistent across epochs so its get_state() captures the exact
+        # position in the shuffled stream.
+        self.loader_kind = loader
+        self._seed = seed
+        self._grain_iter = None
+        self._iter_in_epoch = 0
+        if loader == "grain" and train_data is not None:
+            from ..data import grain_loader
+
+            self._grain_loader = grain_loader.make_data_loader(
+                train_data, cfg.batch_size, seed=max(seed, 0), num_epochs=None,
+            )
+            self._grain_iter = iter(self._grain_loader)
+        elif loader not in ("device", "grain"):
+            raise ValueError(f"unknown loader {loader!r} (device|grain)")
+
     # ------------------------------------------------------------- epochs
     def _next_rng(self):
         self.rng, sub = jax.random.split(self.rng)
@@ -152,7 +178,24 @@ class Trainer:
             return pmesh.shard_batch(batch, self.mesh)
         return jax.device_put(batch)
 
-    def per_train_epoch(self, log_interval: int = 50) -> float:
+    def _epoch_batches(self, max_iters: int | None = None):
+        """(iteration, batch) stream for one epoch under the active loader.
+
+        grain: pulls from the persistent checkpointable iterator, resuming
+        at `self._iter_in_epoch` after a mid-epoch restore; device/host:
+        a fresh per-epoch sampler (epoch-granular resume, like the
+        reference's)."""
+        if self.loader_kind == "grain" and self._grain_iter is not None:
+            steps = max(1, self.train_data.n_samples // self.cfg.batch_size)
+            stop = steps if max_iters is None else min(
+                steps, self._iter_in_epoch + max_iters
+            )
+            for i in range(self._iter_in_epoch, stop):
+                yield i, next(self._grain_iter)
+                self._iter_in_epoch = i + 1
+            if self._iter_in_epoch >= steps:
+                self._iter_in_epoch = 0
+            return
         if self._device_train is not None:
             sampler = DeviceBatchSampler(
                 self.train_data, self.cfg.batch_size,
@@ -163,10 +206,17 @@ class Trainer:
                 self.train_data, self.cfg.batch_size,
                 seed=self.epoch * 7919 + 1,
             )
+        for i, batch in enumerate(sampler):
+            if max_iters is not None and i >= max_iters:
+                return
+            yield i, batch
+
+    def per_train_epoch(self, log_interval: int = 50,
+                        max_iters: int | None = None) -> float:
         gan_on = self.epoch > self.gan_cfg.loss_warmup
         total, n = 0.0, 0
         start = time.time()
-        for i, batch in enumerate(sampler):
+        for i, batch in self._epoch_batches(max_iters):
             self.state, metrics = self.train_step(
                 self.state, self._put(batch), self._next_rng(), gan_on=gan_on
             )
@@ -230,7 +280,64 @@ class Trainer:
         state = jax.device_get(self.state)
         self._ckptr.save(path, state, force=True)
         self._ckptr.wait_until_finished()
+        self._save_sidecar(path)
         self.logger.print_log(f"saved checkpoint {path}")
+
+    def _save_sidecar(self, ckpt_path: str):
+        """Data-pipeline + RNG state next to the orbax dir: makes the resume
+        bit-exact mid-epoch with the grain loader (a capability the
+        reference lacks — its resume is epoch-granular filename parsing,
+        processor_v2.py:53-83)."""
+        import base64
+        import json
+
+        sidecar = {
+            "iter_in_epoch": self._iter_in_epoch,
+            "rng_key_data": np.asarray(
+                jax.random.key_data(self.rng)
+            ).tolist(),
+        }
+        if self._grain_iter is not None:
+            sidecar["grain_state"] = base64.b64encode(
+                self._grain_iter.get_state()
+            ).decode("ascii")
+            # grain validates repr(sampler) (incl. its seed) on set_state;
+            # record the seed so restore can rebuild an identical loader
+            # even when the resuming Trainer was constructed differently
+            sidecar["grain_seed"] = max(self._seed, 0)
+        with open(ckpt_path + "_datastate.json", "w") as f:
+            json.dump(sidecar, f)
+
+    def _restore_sidecar(self, ckpt_path: str) -> bool:
+        import base64
+        import json
+
+        path = ckpt_path + "_datastate.json"
+        if not os.path.exists(path):
+            return False
+        with open(path) as f:
+            sidecar = json.load(f)
+        self._iter_in_epoch = int(sidecar.get("iter_in_epoch", 0))
+        key_data = sidecar.get("rng_key_data")
+        if key_data is not None:
+            self.rng = jax.random.wrap_key_data(
+                np.asarray(key_data, np.uint32)
+            )
+        if self._grain_iter is not None and "grain_state" in sidecar:
+            saved_seed = int(sidecar.get("grain_seed", max(self._seed, 0)))
+            if saved_seed != max(self._seed, 0):
+                from ..data import grain_loader
+
+                self._grain_loader = grain_loader.make_data_loader(
+                    self.train_data, self.cfg.batch_size, seed=saved_seed,
+                    num_epochs=None,
+                )
+                self._grain_iter = iter(self._grain_loader)
+                self._seed = saved_seed
+            self._grain_iter.set_state(
+                base64.b64decode(sidecar["grain_state"])
+            )
+        return True
 
     def load_checkpoint(self, epoch: int | str = "best") -> bool:
         found = find_checkpoint(self.work_dir, epoch)
@@ -238,15 +345,14 @@ class Trainer:
             self.logger.print_log("Warning! No saved model found.")
             return False
         name, ckpt_epoch, loss = found
-        restored = self._ckptr.restore(
-            os.path.join(os.path.abspath(self.work_dir), name),
-            target=jax.device_get(self.state),
-        )
+        path = os.path.join(os.path.abspath(self.work_dir), name)
+        restored = self._ckptr.restore(path, target=jax.device_get(self.state))
         self.state = jax.device_put(restored)
         if self.mesh is not None:
             self.state = pmesh.replicate_state(self.state, self.mesh)
         self.epoch = ckpt_epoch
         self.best_loss, self.best_loss_epoch = loss, ckpt_epoch
+        self._restore_sidecar(path)
         self.logger.print_log(f"restored {name}")
         return True
 
@@ -277,37 +383,53 @@ class Trainer:
 
     # ------------------------------------------------------------- eval
     def generate_gestures(self, batch_size: int = 2048, randomized: bool = True,
-                          seed: int = 0) -> dict[str, Any]:
+                          seed: int = 0, full_test: bool = False) -> dict[str, Any]:
         """Batch evaluation on the test split: L1 / FGD / joint MAE / accel
-        (ref generate_gestures, processor_v2.py:1071-1142)."""
+        (ref generate_gestures, processor_v2.py:1071-1142).
+
+        The reference scores one random draw of <= 2048 samples; with
+        full_test=True the WHOLE test split is scored in batch_size chunks
+        (FGD Gaussians fitted over every sample) — a framework improvement
+        over the reference's single-draw estimate."""
         ds = self.test_data
         rng = np.random.default_rng(seed)
-        n = min(batch_size, ds.n_samples)
-        if self.mesh is not None:
-            # batch must divide the data axis; round down (mesh >= 2 devices)
-            n_dev = self.mesh.shape.get("data", len(self.mesh.devices))
-            n = max(n_dev, (n // n_dev) * n_dev)
-        idx = (rng.choice(ds.n_samples, n, replace=False) if randomized
-               else np.arange(n))
+        if full_test:
+            idx_all = np.arange(ds.n_samples)
+        else:
+            n = min(batch_size, ds.n_samples)
+            idx_all = (rng.choice(ds.n_samples, n, replace=False) if randomized
+                       else np.arange(n))
         from ..data.ted_db import decode_rows
 
-        batch = decode_rows(ds, idx)
-        # eval uses uniformly random speakers (ref processor_v2.py:724-726)
-        batch["vid_indices"] = rng.choice(
-            sorted(ds.speaker_model.word2index.values()), n
-        ).astype(np.int32)
-        out, metrics = self.eval_step(
-            self.state, self._put(batch), self._next_rng(),
-            gan_on=self.epoch > self.gan_cfg.loss_warmup,
-        )
-        out = np.asarray(out)
+        speaker_pool = sorted(ds.speaker_model.word2index.values())
+        n_dev = 1
+        if self.mesh is not None:
+            # batch must divide the data axis (mesh >= 2 devices)
+            n_dev = self.mesh.shape.get("data", len(self.mesh.devices))
+
         losses_all = AverageMeter("loss")
         joint_mae = AverageMeter("mae")
         accel = AverageMeter("accel")
-        push_sample_metrics(
-            batch["vec_seq"], out, self.cfg.mean_dir_vec_array,
-            losses_all, joint_mae, accel, self.cfg.n_pre_poses, self.evaluator,
-        )
+        for start in range(0, len(idx_all), batch_size):
+            idx = idx_all[start:start + batch_size]
+            if n_dev > 1:
+                idx = idx[: (len(idx) // n_dev) * n_dev]
+                if len(idx) == 0:
+                    break
+            batch = decode_rows(ds, idx)
+            # eval uses uniformly random speakers (ref processor_v2.py:724-726)
+            batch["vid_indices"] = rng.choice(
+                speaker_pool, len(idx)
+            ).astype(np.int32)
+            out, _metrics = self.eval_step(
+                self.state, self._put(batch), self._next_rng(),
+                gan_on=self.epoch > self.gan_cfg.loss_warmup,
+            )
+            push_sample_metrics(
+                batch["vec_seq"], np.asarray(out), self.cfg.mean_dir_vec_array,
+                losses_all, joint_mae, accel, self.cfg.n_pre_poses,
+                self.evaluator,
+            )
         result = {
             "l1": losses_all.avg,
             "joint_mae": joint_mae.avg,

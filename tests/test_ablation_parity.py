@@ -14,6 +14,8 @@ from speech2affective_gestures_tpu.models import generator as G
 
 from _reference_oracle import reference_abl_nets
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 HI = jax.default_matmul_precision("highest")
 torch.manual_seed(3)
 N_WORDS, N_SPK = 80, 6

@@ -24,6 +24,8 @@ from speech2affective_gestures_tpu.train.trainer import Trainer
 
 from _reference_oracle import reference_v2_nets
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 HI = jax.default_matmul_precision("highest")
 torch.manual_seed(9)
 

@@ -8,6 +8,8 @@ from speech2affective_gestures_tpu.data import ted_db
 from speech2affective_gestures_tpu.train import clip_eval
 from speech2affective_gestures_tpu.train.trainer import Trainer
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 CFG = ModelConfig(hidden_size=32, hidden_size_s2eg=32, n_layers=2,
                   batch_size=8)
 

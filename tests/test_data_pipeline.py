@@ -8,6 +8,8 @@ from speech2affective_gestures_tpu.config import ModelConfig
 from speech2affective_gestures_tpu.data import motion_filter, ted_db
 from speech2affective_gestures_tpu.data.vocab import Vocab, make_speaker_vocab
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 CFG = ModelConfig()
 
 

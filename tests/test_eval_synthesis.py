@@ -15,6 +15,8 @@ from speech2affective_gestures_tpu.train.evaluator import (
 )
 from speech2affective_gestures_tpu.train.losses import AverageMeter
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 CFG = ModelConfig(hidden_size=32, hidden_size_s2eg=32, n_layers=2)
 
 

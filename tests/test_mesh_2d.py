@@ -9,6 +9,8 @@ from speech2affective_gestures_tpu.config import ModelConfig
 from speech2affective_gestures_tpu.parallel import mesh as pmesh
 from speech2affective_gestures_tpu.train import builder
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 
 @pytest.fixture(scope="module")
 def mesh_2d():
@@ -52,3 +54,59 @@ def test_train_step_on_2d_mesh(mesh_2d):
     # sharded table)
     old = setup["state"].gen_params["text_encoder"]["embedding"]["embedding"]
     assert float(jnp.abs(emb - jax.device_put(old, emb.sharding)).sum()) > 0
+
+
+def test_mesh_step_numerically_equals_single_device(mesh_2d):
+    """The 8-device (4 data x 2 model) step must produce the SAME metrics
+    and parameter updates as a plain single-device step on the same batch
+    and key — BatchNorm included, because our BN reduces over the GLOBAL
+    batch under sharding (deliberately diverging from nn.DataParallel's
+    per-replica stats, reference processor_v2.py:167-172; COMPONENTS.md
+    §2.7 documents this as the tested semantic)."""
+    cfg = ModelConfig(hidden_size=32, hidden_size_s2eg=32, n_layers=2)
+    setup = builder.init_training(
+        cfg, jax.random.key(0), n_words=2048, n_speakers=10,
+        with_trimodal=False,
+    )
+    host_batch = builder.synthetic_batch(
+        np.random.default_rng(3), 8, cfg, 2048, 10
+    )
+
+    state = pmesh.shard_params_2d(setup["state"], mesh_2d)
+    step = pmesh.data_parallel_step(setup["train_step"], mesh_2d)
+    multi_state, multi_metrics = step(
+        state, pmesh.shard_batch(dict(host_batch), mesh_2d),
+        jax.random.key(9), gan_on=True,
+    )
+
+    single_state, single_metrics = setup["train_step"](
+        setup["state"], jax.device_put(host_batch), jax.random.key(9),
+        gan_on=True,
+    )
+
+    for k in single_metrics:
+        np.testing.assert_allclose(
+            float(multi_metrics[k]), float(single_metrics[k]),
+            rtol=1e-3, atol=1e-5, err_msg=f"metric {k}",
+        )
+    # params: Adam's first step is ~sign(grad)*lr, so elements whose grad
+    # is ~0 can flip sign under cross-device reduction-order noise — a
+    # float artifact, not a semantic divergence. Allow up to 2*lr (1e-3)
+    # absolute on params while keeping metrics/BN strict above/below.
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b)),
+            rtol=1e-4, atol=1.1e-3,
+        ),
+        multi_state.gen_params, single_state.gen_params,
+    )
+    # BN running stats agree: global-batch semantics on the mesh. Variance
+    # suffers f32 cancellation under the partitioned reduction (~1e-3
+    # relative observed), hence the looser bound than the metrics above.
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b)),
+            rtol=5e-3, atol=1e-4,
+        ),
+        multi_state.gen_stats, single_state.gen_stats,
+    )

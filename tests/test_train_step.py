@@ -11,6 +11,8 @@ from speech2affective_gestures_tpu.parallel import mesh as pmesh
 from speech2affective_gestures_tpu.train import builder
 from speech2affective_gestures_tpu.train.gan_step import build_pre_seq
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 CFG = ModelConfig(hidden_size=64, hidden_size_s2eg=64, n_layers=2)
 N_WORDS, N_SPK = 40, 12
 

@@ -18,6 +18,8 @@ from speech2affective_gestures_tpu.models.ser import AttConvRNN, AttConvRNNv2
 from speech2affective_gestures_tpu.train import builder, ser_trainer
 from speech2affective_gestures_tpu.train.gan_step import create_train_state
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 HI = jax.default_matmul_precision("highest")
 CFG = ModelConfig(hidden_size=32, hidden_size_s2eg=32, n_layers=2)
 

@@ -16,6 +16,8 @@ from speech2affective_gestures_tpu.models.ser import AttConvRNN
 
 from _reference_oracle import load, reference_v2_nets
 
+pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
+
 HI = jax.default_matmul_precision("highest")
 torch.manual_seed(5)
 N_WORDS, N_SPK, EC = 60, 5, 7
