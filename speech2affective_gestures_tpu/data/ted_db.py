@@ -19,6 +19,7 @@ generator for tests/benchmarks) is dependency-free.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import os
 import pickle
 from typing import Iterator
@@ -586,13 +587,29 @@ def load_exported_data(exported_dir: str, cfg: ModelConfig,
             for rec in iter_exported_records(exported_dir, split):
                 yield [w[0] for w in rec[0]]
 
-    # shared word vocab across all splits (ref vocab_utils.py:11-35)
+    # ONE shared word vocab for the whole archive, built over ALL manifest
+    # splits (not just the wanted subset) so word indices never depend on
+    # which splits a given invocation asked for, and persisted next to the
+    # packed caches (ref vocab_utils.py:11-35 also shares one vocab across
+    # the three lmdb splits). Split caches packed with a different vocab
+    # are invalidated and rebuilt.
+    all_splits = sorted(manifest["splits"])
     lang_model = None
-    if any(not os.path.exists(cache_path(s)) for s in wanted):
-        lang_model = build_vocab(
-            "words", (ws for s in wanted for ws in split_words(s)),
-            feat_dim=cfg.wordembed_dim, word_vec_path=cfg.wordembed_path,
-        )
+    shared_vocab_cache = os.path.join(
+        out_dir, f"s2ag_tpu_shared_vocab_mfcc_{cfg.num_mfcc}.pkl"
+    )
+
+    def get_lang_model():
+        nonlocal lang_model
+        if lang_model is None:
+            lang_model = build_vocab(
+                "words", (ws for s in all_splits for ws in split_words(s)),
+                cache_path=shared_vocab_cache,
+                feat_dim=cfg.wordembed_dim, word_vec_path=cfg.wordembed_path,
+            )
+        return lang_model
+
+    get_lang_model()
 
     splits = {}
     for split in wanted:
@@ -601,11 +618,18 @@ def load_exported_data(exported_dir: str, cfg: ModelConfig,
         if os.path.exists(cache):
             with open(vocab_cache, "rb") as f:
                 cached_lang, speaker_model = pickle.load(f)
-            lang_model = lang_model or cached_lang
-            splits[split] = PackedDataset.load_npz(
-                cache, speaker_model=speaker_model, lang_model=cached_lang
-            )
-            continue
+            if cached_lang.word2index != lang_model.word2index:
+                logging.warning(
+                    "packed cache %s was built with a different word vocab "
+                    "(%d words vs shared %d) — rebuilding split %r",
+                    cache, cached_lang.n_words, lang_model.n_words, split,
+                )
+                os.remove(cache)
+            else:
+                splits[split] = PackedDataset.load_npz(
+                    cache, speaker_model=speaker_model, lang_model=cached_lang
+                )
+                continue
         records = iter_exported_records(exported_dir, split)
         build = (build_dataset_from_videos if level == "raw"
                  else build_dataset_from_samples)

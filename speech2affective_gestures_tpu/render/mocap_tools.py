@@ -254,3 +254,161 @@ def plot_foot_up_down(signal: np.ndarray, t: float = 0.02,
     ax.plot(frames[up], signal[up], "ro")
     ax.plot(frames[down], signal[down], "go")
     return ax
+
+
+# --------------------------------------------------------------------------
+# stick-figure drawing (pymo viz_tools)
+# --------------------------------------------------------------------------
+# Ports of the reference's notebook drawing helpers
+# (utils/pymo/viz_tools.py:7-165) onto the array-backed MocapData: the
+# skeleton dict/DataFrame lookups become parents-array walks over world
+# positions from `to_positions`. The notebook mocap player
+# (viz_tools.py:167-235, nb_play_mocap*) is NOT ported: it only serves a
+# bundled JavaScript player asset (utils/pymo/mocapplayer/) absent here,
+# like the Blender .blend asset.
+
+def _children(data: MocapData) -> list[list[int]]:
+    out: list[list[int]] = [[] for _ in data.joint_names]
+    for j, p in enumerate(data.parents):
+        if p >= 0:
+            out[int(p)].append(j)
+    return out
+
+
+def _viz_positions(data: MocapData, positions) -> np.ndarray:
+    if positions is None:
+        positions = to_positions(data)
+    return np.asarray(positions)
+
+
+def save_fig(fig_id: str, tight_layout: bool = True):
+    """viz_tools.save_fig (:7-10): write the current figure as <id>.png."""
+    import matplotlib.pyplot as plt
+
+    if tight_layout:
+        plt.tight_layout()
+    plt.savefig(fig_id + ".png", format="png", dpi=300)
+
+
+def draw_stickfigure(data: MocapData, frame: int, positions=None,
+                     joints=None, draw_names: bool = False, ax=None,
+                     figsize=(8, 8)):
+    """2-D (X, Y) stick figure of one frame (viz_tools.draw_stickfigure,
+    :13-48). `positions` lets callers pass precomputed (L, J, 3) world
+    positions (the reference's `data=` DataFrame argument)."""
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        fig = plt.figure(figsize=figsize)
+        ax = fig.add_subplot(111)
+    pos = _viz_positions(data, positions)[frame]
+    keep = (set(joints) if joints is not None else set(data.joint_names))
+    children = _children(data)
+    for j, name in enumerate(data.joint_names):
+        if name not in keep:
+            continue
+        ax.scatter(x=pos[j, 0], y=pos[j, 1], alpha=0.6, c="b", marker="o")
+        for c in children[j]:
+            if data.joint_names[c] in keep:
+                ax.plot([pos[j, 0], pos[c, 0]], [pos[j, 1], pos[c, 1]],
+                        "k-", lw=2)
+        if draw_names:
+            ax.annotate(name, (pos[j, 0] + 0.1, pos[j, 1] + 0.1))
+    return ax
+
+
+def draw_stickfigure3d(data: MocapData, frame: int, positions=None,
+                       joints=None, draw_names: bool = False, ax=None,
+                       figsize=(8, 8)):
+    """3-D stick figure of one frame (viz_tools.draw_stickfigure3d, :50-97).
+    Mocap Y is up, so axes are plotted as (X, Z, Y) like the reference."""
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        fig = plt.figure(figsize=figsize)
+        ax = fig.add_subplot(111, projection="3d")
+    pos = _viz_positions(data, positions)[frame]
+    keep = (set(joints) if joints is not None else set(data.joint_names))
+    children = _children(data)
+    for j, name in enumerate(data.joint_names):
+        if name not in keep:
+            continue
+        x, y, z = pos[j, 0], pos[j, 2], pos[j, 1]
+        ax.scatter(xs=x, ys=y, zs=z, alpha=0.6, c="b", marker="o")
+        for c in children[j]:
+            if data.joint_names[c] in keep:
+                ax.plot([x, pos[c, 0]], [y, pos[c, 2]], [z, pos[c, 1]],
+                        "k-", lw=2, c="black")
+        if draw_names:
+            ax.text(x=x + 0.1, y=y + 0.1, z=z + 0.1, s=name, color="black")
+    return ax
+
+
+def sketch_move(data: MocapData, positions=None, ax=None, figsize=(16, 8),
+                stride: int = 4):
+    """Ghosted every-`stride`-frames motion sketch (viz_tools.sketch_move,
+    :99-123): bone segments drawn in gray with alpha ramping over time."""
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        fig = plt.figure(figsize=figsize)
+        ax = fig.add_subplot(111)
+    pos = _viz_positions(data, positions)
+    children = _children(data)
+    n = pos.shape[0]
+    for frame in range(0, n, stride):
+        alpha = frame / n
+        for j in range(len(data.joint_names)):
+            for c in children[j]:
+                ax.plot([pos[frame, j, 0], pos[frame, c, 0]],
+                        [pos[frame, j, 1], pos[frame, c, 1]],
+                        "-", lw=1, color="gray", alpha=alpha)
+    return ax
+
+
+def viz_cnn_filter(feature_to_viz: np.ndarray, data: MocapData,
+                   positions=None, gap: int = 25):
+    """Per-frame per-joint activation strip next to the unrolled skeleton
+    (viz_tools.viz_cnn_filter, :126-153): marker color/size scale with the
+    feature value; frames offset horizontally by `gap`."""
+    import matplotlib.pyplot as plt
+
+    feature_to_viz = np.asarray(feature_to_viz)
+    pos = _viz_positions(data, positions)
+    children = _children(data)
+    fig = plt.figure(figsize=(16, 4))
+    ax = plt.subplot2grid((1, 8), (0, 0))
+    ax.imshow(feature_to_viz.T, aspect="auto", interpolation="nearest")
+    ax = plt.subplot2grid((1, 8), (0, 1), colspan=7)
+    for frame in range(feature_to_viz.shape[0]):
+        for j in range(len(data.joint_names)):
+            px = pos[frame, j, 0] + frame * gap
+            py = pos[frame, j, 1]
+            v = feature_to_viz[frame][j] * 10000
+            ax.scatter(x=px, y=py, alpha=0.6, cmap="RdBu", c=v, marker="o",
+                       s=abs(v))
+            plt.axis("off")
+            for c in children[j]:
+                ax.plot([px, pos[frame, c, 0] + frame * gap],
+                        [py, pos[frame, c, 1]],
+                        "-", lw=1, color="gray", alpha=0.2)
+    return fig
+
+
+def print_skel(data: MocapData) -> str:
+    """Indented skeleton tree (viz_tools.print_skel, :156-164); returns the
+    text it prints so tests/tools can capture it."""
+    children = _children(data)
+    root = int(np.flatnonzero(data.parents < 0)[0])
+    lines = []
+    stack = [root]
+    while stack:
+        j = stack.pop()
+        tab = len(stack)
+        parent = data.parents[j]
+        pname = data.joint_names[int(parent)] if parent >= 0 else None
+        lines.append("%s- %s (%s)" % ("| " * tab, data.joint_names[j], pname))
+        stack.extend(children[j])
+    text = "\n".join(lines)
+    print(text)
+    return text

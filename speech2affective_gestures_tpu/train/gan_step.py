@@ -51,6 +51,13 @@ class GanConfig:
     # np.setdiff1d draw, processor_v2.py:625-636). 0 falls back to an
     # in-batch permutation (only used when the vocab size is unknown).
     n_speakers: int = 0
+    # diversity-regularizer second-pass speaker ids: 'fresh' (default) draws
+    # uniformly over the vocab excluding each sample's own id — never
+    # degenerate; 'permutation' reproduces the reference's torch.randperm
+    # over the in-batch ids EXACTLY (processor_v2.py:902-903), fix-points and
+    # all. The default DIVERGES from the reference by design; recorded in
+    # README.md / docs/STATUS.md parity notes.
+    divreg_draw: str = "fresh"
     # which batch field feeds the generator's audio input: 'mfcc_features'
     # for the paper model, 'audio' for the abl_audio WavEncoder ablation
     generator_input: str = "mfcc_features"
@@ -61,6 +68,11 @@ class GanConfig:
     # reference's adjust_lr_s2ag call is commented out at
     # processor_v2.py:991; 1.0 = off = reference parity). Applied as a
     # step-indexed schedule, so decay_steps_per_epoch must be set too.
+    # NOTE: optax schedules count OPTIMIZER UPDATES, and the discriminator
+    # only starts updating after the GAN warmup (loss_warmup epochs), so the
+    # D schedule's "epoch" index lags the wall-clock epoch by the warmup
+    # length. Epoch-indexed decay would need the epoch threaded into the
+    # step; the offset is tiny (warmup defaults to 0) and documented here.
     lr_decay: float = 1.0
     decay_steps_per_epoch: int = 0
 
@@ -181,7 +193,8 @@ def make_train_step(
         return out, z, mu, logvar, mut["batch_stats"]
 
     def draw_other_speakers(key, vids):
-        return draw_other_speaker_ids(key, vids, cfg.n_speakers)
+        n = 0 if cfg.divreg_draw == "permutation" else cfg.n_speakers
+        return draw_other_speaker_ids(key, vids, n)
 
     def dis_fwd(params, stats, poses, in_text, rng):
         prob, mut = dis_apply(

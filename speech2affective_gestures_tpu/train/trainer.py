@@ -18,6 +18,7 @@ processor_v2.py:58-71 — divergence documented here on purpose).
 
 from __future__ import annotations
 
+import logging
 import os
 import re
 import time
@@ -113,6 +114,16 @@ class Trainer:
         steps_per_epoch = 0
         if train_data is not None and train_data.n_samples >= cfg.batch_size:
             steps_per_epoch = train_data.n_samples // cfg.batch_size
+        if lr_decay != 1.0 and train_data is not None and steps_per_epoch == 0:
+            # tiny datasets (< one batch) would otherwise silently disable a
+            # decay the user explicitly asked for
+            logging.warning(
+                "--apply-lr-decay requested but the train split (%d samples) "
+                "is smaller than the batch size (%d); treating each batch as "
+                "one epoch for the decay schedule",
+                train_data.n_samples, cfg.batch_size,
+            )
+            steps_per_epoch = 1
         setup = builder.init_training(
             cfg, jax.random.key(max(seed, 0)), n_words=n_words,
             n_speakers=n_speakers, word_embeddings=word_embeddings,
@@ -410,12 +421,17 @@ class Trainer:
         losses_all = AverageMeter("loss")
         joint_mae = AverageMeter("mae")
         accel = AverageMeter("accel")
+        n_scored = 0
+        n_dropped = 0
         for start in range(0, len(idx_all), batch_size):
             idx = idx_all[start:start + batch_size]
             if n_dev > 1:
-                idx = idx[: (len(idx) // n_dev) * n_dev]
+                keep = (len(idx) // n_dev) * n_dev
+                n_dropped += len(idx) - keep
+                idx = idx[:keep]
                 if len(idx) == 0:
                     break
+            n_scored += len(idx)
             batch = decode_rows(ds, idx)
             # eval uses uniformly random speakers (ref processor_v2.py:724-726)
             batch["vid_indices"] = rng.choice(
@@ -429,6 +445,18 @@ class Trainer:
                 batch["vec_seq"], np.asarray(out), self.cfg.mean_dir_vec_array,
                 losses_all, joint_mae, accel, self.cfg.n_pre_poses,
                 self.evaluator,
+            )
+        if n_dropped:
+            # mesh evaluation rounds each chunk down to a multiple of the
+            # data-axis size; never let that silently hide test samples
+            logging.warning(
+                "eval dropped %d of %d samples to align with the %d-device "
+                "data axis", n_dropped, len(idx_all), n_dev,
+            )
+        if n_scored == 0:
+            raise RuntimeError(
+                f"eval scored 0 samples ({len(idx_all)} available, "
+                f"{n_dev}-device data axis) — metrics would be meaningless"
             )
         result = {
             "l1": losses_all.avg,

@@ -175,3 +175,34 @@ def test_export_script_end_to_end(tmp_path, videos, monkeypatch):
     assert manifest["splits"]["train"]["shards"] == 2
     splits = ted_db.load_exported_data(out, CFG, load_train_val=False)
     assert splits["test"].n_samples > 0
+
+
+def test_vocab_consistent_across_partial_cache(tmp_path, videos):
+    """Word indices must not depend on which splits were requested first:
+    a test-only ingestion followed by a full one must give train/test the
+    SAME vocabulary (the shared archive-wide vocab), and stale caches packed
+    with a different vocab must be invalidated."""
+    arch = str(tmp_path / "raw")
+    write_archive(arch, "raw", {"train": videos[:2], "test": videos[2:]})
+    only_test = ted_db.load_exported_data(arch, CFG, load_train_val=False)
+    full = ted_db.load_exported_data(arch, CFG)
+    assert (full["test"].lang_model.word2index
+            == full["train"].lang_model.word2index)
+    assert (only_test["test"].lang_model.word2index
+            == full["test"].lang_model.word2index)
+
+    # a stale cache from a different vocab is detected and rebuilt
+    import pickle
+    stale = ted_db.Vocab("words")
+    stale.index_word("completely")
+    stale.index_word("different")
+    vocab_pkl = os.path.join(
+        arch, f"train_s2ag_tpu_packed_mfcc_{CFG.num_mfcc}_vocab.pkl"
+    )
+    with open(vocab_pkl, "rb") as f:
+        _, speaker_model = pickle.load(f)
+    with open(vocab_pkl, "wb") as f:
+        pickle.dump((stale, speaker_model), f)
+    rebuilt = ted_db.load_exported_data(arch, CFG)
+    assert (rebuilt["train"].lang_model.word2index
+            == full["train"].lang_model.word2index)
