@@ -71,45 +71,59 @@ def _try_header(buf: bytes, n_counts: int):
 
 
 def _read_batch(buf: bytes, offset: int):
-    """Read the single record batch; returns (batch, end_offset_lower_bound)."""
+    """Read the single record batch by walking IPC messages one at a time,
+    returning (batch, exact_end_offset_after_EOS).
+
+    `pa.ipc.read_message` consumes exactly one framed message (it handles
+    both pre-0.15 legacy framing — what 0.14 wrote — and the continuation
+    framing), so `reader.tell()` is exact, unlike the buffered stream
+    reader whose tell() can overshoot. The EOS marker after the batch is
+    parsed explicitly: 4 bytes (int32 0, legacy) or 8 bytes
+    (0xFFFFFFFF + int32 0, continuation)."""
     reader = pa.BufferReader(buf)
     reader.seek(offset)
-    stream = pa.ipc.open_stream(reader)
-    batch = stream.read_next_batch()
-    # reader.tell() is the end of the batch message; the EOS marker
-    # (4 bytes legacy / 8 bytes with continuation) follows but need not be
-    # consumed — tensor scanning below realigns anyway.
-    return batch, reader.tell()
+    schema_msg = pa.ipc.read_message(reader)
+    schema = pa.ipc.read_schema(schema_msg)
+    batch_msg = pa.ipc.read_message(reader)
+    batch = pa.ipc.read_record_batch(batch_msg, schema)
+    pos = reader.tell()
+    # stream EOS (arrow 0.14 WriteRecordBatchStream closes the stream):
+    if buf[pos:pos + 8] == b"\xff\xff\xff\xff\x00\x00\x00\x00":
+        pos += 8
+    elif buf[pos:pos + 4] == b"\x00\x00\x00\x00":
+        pos += 4
+    else:
+        raise LegacyFormatError(
+            f"no stream-EOS marker at offset {pos} after the record batch"
+        )
+    return batch, pos
 
 
 def _read_tensors(buf: bytes, offset: int, count: int):
-    """Read `count` tensor IPC messages starting at/after `offset`,
-    64-byte-aligned, tolerating the unconsumed stream-EOS marker."""
+    """Read `count` tensor IPC messages from `offset`, each at the exact
+    64-byte-aligned position the 0.14 writer produced (serialize.cc
+    WriteTo: AlignStream(kTensorAlignment=64) before the block and after
+    every WriteTensor). No probing: a tensor that fails to parse at its
+    deterministic offset is a format error, raised loudly."""
     tensors = []
     reader = pa.BufferReader(buf)
     pos = offset
     for k in range(count):
-        got = None
-        # candidate start positions: next 64-aligned offsets (the EOS
-        # marker and padding make the exact gap version-dependent)
-        base = _align(pos, _ALIGN_TENSOR)
-        for candidate in (base, base + 64, base + 128):
-            if candidate >= len(buf):
-                break
-            try:
-                reader.seek(candidate)
-                t = pa.ipc.read_tensor(reader)
-            except pa.ArrowInvalid:
-                continue
-            got = t
-            pos = reader.tell()
-            break
-        if got is None:
+        pos = _align(pos, _ALIGN_TENSOR)
+        if pos >= len(buf):
             raise LegacyFormatError(
-                f"could not locate tensor component {k}/{count} "
-                f"after offset {pos}"
+                f"tensor component {k}/{count}: offset {pos} past end of blob"
             )
-        tensors.append(got.to_numpy())
+        try:
+            reader.seek(pos)
+            t = pa.ipc.read_tensor(reader)
+        except pa.ArrowInvalid as e:
+            raise LegacyFormatError(
+                f"tensor component {k}/{count} failed to parse at its "
+                f"aligned offset {pos}: {e}"
+            ) from e
+        pos = reader.tell()
+        tensors.append(t.to_numpy())
     return tensors, pos
 
 
@@ -224,6 +238,9 @@ def deserialize(data: bytes) -> Any:
         tensors, pos = _read_tensors(buf, pos, num_tensors)
         ndarrays, pos = _read_tensors(buf, pos, num_ndarrays)
         buffers = []
+        # the buffer block always starts 64-aligned: the writer aligns
+        # after the stream and after every tensor (serialize.cc WriteTo)
+        pos = _align(pos, _ALIGN_TENSOR)
         for _ in range(num_buffers):
             (size,) = struct.unpack_from("<q", buf, pos)
             pos += 8
@@ -348,9 +365,14 @@ def _build_union(objs: list, comps: dict):
     )
 
 
-def serialize_legacy(obj: Any, header_counts: int = 4) -> bytes:
+def serialize_legacy(obj: Any, header_counts: int = 4,
+                     legacy_framing: bool = True) -> bytes:
     """Write `obj` in the 0.14 serialize layout (legacy IPC framing, V4
-    metadata). Produced for tests/fixtures; real 0.14 blobs are read-only."""
+    metadata). Produced for tests/fixtures; real 0.14 blobs are read-only.
+
+    legacy_framing=False emits the post-0.15 continuation framing instead
+    (8-byte EOS, tensors keep the 0xFFFFFFFF marker) — never produced by
+    0.14 itself, but exercises the reader's framing autodetection."""
     comps = {"ndarrays": []}
     union = _build_union([[obj]], comps)  # [obj] wrapper like serialize()
     batch = pa.RecordBatch.from_arrays([union], ["list"])
@@ -363,7 +385,8 @@ def serialize_legacy(obj: Any, header_counts: int = 4) -> bytes:
 
     sink = pa.BufferOutputStream()
     opts = pa.ipc.IpcWriteOptions(
-        metadata_version=pa.ipc.MetadataVersion.V4, use_legacy_format=True
+        metadata_version=pa.ipc.MetadataVersion.V4,
+        use_legacy_format=legacy_framing,
     )
     writer = pa.ipc.new_stream(sink, batch.schema, options=opts)
     writer.write_batch(batch)
@@ -378,7 +401,7 @@ def serialize_legacy(obj: Any, header_counts: int = 4) -> bytes:
         tbytes = tsink.getvalue().to_pybytes()
         # write_tensor emits modern framing (0xFFFFFFFF continuation);
         # 0.14 wrote legacy framing — strip the marker to match
-        if tbytes[:4] == b"\xff\xff\xff\xff":
+        if legacy_framing and tbytes[:4] == b"\xff\xff\xff\xff":
             tbytes = tbytes[4:]
         out += tbytes
     return bytes(out)

@@ -21,10 +21,20 @@ Checkpoint mapping from torch layouts is in `convert/torch_ckpt.py`.
 from __future__ import annotations
 
 import math
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+
+# lax.scan unroll factor for the recurrent cells. The per-cell work here is
+# tiny ((D, B, H) x (D, H, 3H) einsums), so the 34-step scans are bound by
+# per-iteration loop overhead, not FLOPs; unrolling lets XLA fuse across
+# steps and amortize the bookkeeping. Numerically identical for any value
+# (it only changes loop structure). Tuned on the v5e (tools/bench_step_opt.py);
+# override with S2AG_RNN_UNROLL=1 to minimize compile time.
+RNN_UNROLL = int(os.environ.get("S2AG_RNN_UNROLL", "1"))
 
 
 # --------------------------------------------------------------------------
@@ -418,7 +428,8 @@ class GRU(nn.Module):
                 h_new = (1.0 - z) * n + z * h
                 return h_new, h_new
 
-            h_last, ys = jax.lax.scan(cell, h0, xp)  # ys (T, D, B, H)
+            h_last, ys = jax.lax.scan(cell, h0, xp,
+                                      unroll=RNN_UNROLL)  # ys (T, D, B, H)
             outs = [jnp.swapaxes(ys[:, 0], 0, 1)]
             if num_dir == 2:
                 outs.append(jnp.swapaxes(jnp.flip(ys[:, 1], axis=0), 0, 1))
@@ -488,7 +499,8 @@ class LSTM(nn.Module):
                 h_new = o * jnp.tanh(c_new)
                 return (h_new, c_new), h_new
 
-            (h_last, c_last), ys = jax.lax.scan(cell, (h0, c0), xp)
+            (h_last, c_last), ys = jax.lax.scan(cell, (h0, c0), xp,
+                                                unroll=RNN_UNROLL)
             outs = [jnp.swapaxes(ys[:, 0], 0, 1)]
             if num_dir == 2:
                 outs.append(jnp.swapaxes(jnp.flip(ys[:, 1], axis=0), 0, 1))

@@ -3,8 +3,9 @@
 A production-shaped inference server the reference lacks entirely (its only
 "serving" is the offline render loop): load a trained checkpoint once,
 pre-compile the windowed-synthesis scan, and serve synthesis requests over
-HTTP. Latency characteristics on one v5e chip: ~1 s for a 60 s clip
-(~58x realtime), dominated by the sequential window scan.
+HTTP. Latency numbers live in docs/PERFORMANCE.md (measured with honest
+value-fetch sync — the request path's elapsed_ms ends after the full
+device->host copy of the output, so it cannot under-report).
 
 API (JSON over HTTP):
   GET  /healthz           -> {"status": "ok", "backend": ...}
@@ -20,8 +21,9 @@ API (JSON over HTTP):
           "frames": F, "elapsed_ms": ...}
 
 Compilation: the window scan is shape-specialized on the window count; the
-service pads window counts up to power-of-two buckets and warms up the
-largest bucket, so steady-state requests never recompile.
+service pads window counts up to power-of-two buckets and `warmup` compiles
+EVERY bucket up to its horizon, so steady-state requests never recompile
+(asserted by tests/test_serve.py::test_load_smoke_no_steadystate_recompiles).
 
 Run: python -m speech2affective_gestures_tpu.serve -b BASE -c cfg.yml \
          [--port 8787]
@@ -89,10 +91,26 @@ class SynthesisService:
         )
 
     def warmup(self, seconds: float = 62.0):
-        """Compile the largest window-count bucket up front (the scan is
-        shape-specialized on the bucketed window count)."""
-        audio = np.zeros(int(seconds * C.AUDIO_SR), np.float32)
-        self.synthesize(audio, [["<UNK>", 0.1, 0.4], ["<UNK>", 1.0, 1.4]])
+        """Compile EVERY window-count bucket up to the one covering
+        `seconds` (the scan is shape-specialized on the bucketed window
+        count: 4, 8, 16, ... — synthesis.synthesize_clip), so steady-state
+        requests of any length <= `seconds` never recompile."""
+        unit = self.cfg.n_poses / self.cfg.motion_resampling_framerate
+        stride = ((self.cfg.n_poses - self.cfg.n_pre_poses)
+                  / self.cfg.motion_resampling_framerate)
+        words = [["<UNK>", 0.1, 0.4], ["<UNK>", 1.0, 1.4]]
+        max_len = max(seconds, unit + 0.1)
+        bucket = 4
+        while True:
+            # a clip with exactly `bucket` windows (n = ceil((L-unit)/stride)
+            # + 1, plan_subdivisions): aim mid-bucket so float rounding can't
+            # spill into the next one
+            length = min(unit + (bucket - 1.5) * stride, max_len)
+            audio = np.zeros(int(length * C.AUDIO_SR), np.float32)
+            self.synthesize(audio, words)
+            if length >= max_len:
+                break
+            bucket *= 2
 
     def synthesize(self, audio: np.ndarray | None, words, vid_idx: int = 0,
                    fade_out: bool = False) -> dict:

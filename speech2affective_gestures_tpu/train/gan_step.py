@@ -206,7 +206,12 @@ def make_train_step(
         )
         return prob, mut["batch_stats"]
 
-    @partial(jax.jit, static_argnames=("gan_on",))
+    # the TrainState (params + both Adam states, arg 0) is DONATED: its
+    # HBM buffers are reused for the updated state instead of allocating a
+    # second copy each step. Callers must treat the passed-in state as
+    # consumed (the trainer's `state = train_step(state, ...)` pattern).
+    # No-op on backends without donation support (CPU tests).
+    @partial(jax.jit, static_argnames=("gan_on",), donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict, rng: jax.Array,
                    gan_on: bool = True):
         in_text = batch["extended_word_seq"]

@@ -7,9 +7,12 @@ TPU-native replacement for the reference's manual wall-clock timers
   TensorBoard-compatible trace of the compiled steps (XLA ops, fusions,
   MXU utilization);
 - `annotate(name)`: named trace span (shows up in the trace viewer);
-- `StepTimer`: device-synchronized step timing with percentile summary —
-  `block_until_ready` at the boundaries so compiled-step async dispatch
-  doesn't fake the numbers.
+- `StepTimer`: per-step wall timing synchronized by VALUE FETCH — on this
+  platform `jax.block_until_ready` can return before execution finishes
+  (see train/timing.py), so each measured step ends with a scalar
+  device->host copy instead. That makes StepTimer an *upper bound*
+  (dispatch + execute + fetch RTT); for throughput numbers use
+  `timing.marginal_step_time`, which cancels the constant overhead.
 """
 
 from __future__ import annotations
@@ -19,6 +22,8 @@ import time
 
 import jax
 import numpy as np
+
+from .timing import fetch_scalar
 
 
 @contextlib.contextmanager
@@ -35,7 +40,13 @@ def annotate(name: str):
 
 
 class StepTimer:
-    """Collects per-step wall times (seconds) with device sync."""
+    """Collects per-step wall times (seconds), value-fetch synchronized.
+
+    Pass the step's result (e.g. its metrics dict) to `stop`/`measure`; the
+    timer fetches one scalar from it so the interval provably covers device
+    execution. `sync=False` records raw dispatch times (useful only to
+    quantify dispatch overhead itself).
+    """
 
     def __init__(self, sync: bool = True):
         self.times: list[float] = []
@@ -47,7 +58,7 @@ class StepTimer:
         t0 = time.perf_counter()
         yield
         if self.sync and result is not None:
-            jax.block_until_ready(result)
+            fetch_scalar(result)
         self.times.append(time.perf_counter() - t0)
 
     def start(self):
@@ -55,7 +66,7 @@ class StepTimer:
 
     def stop(self, result=None):
         if self.sync and result is not None:
-            jax.block_until_ready(result)
+            fetch_scalar(result)
         assert self._t0 is not None
         self.times.append(time.perf_counter() - self._t0)
         self._t0 = None

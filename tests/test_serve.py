@@ -132,3 +132,57 @@ def test_from_config_constructor_matches_checkpoint_shapes():
     audio = np.zeros(int(3.0 * C.AUDIO_SR), np.float32)
     out = svc.synthesize(audio, [["a", 0.1, 0.4]])
     assert out["frames"] > 0
+
+
+def test_load_smoke_no_steadystate_recompiles(service):
+    """N concurrent requests over a spread of clip lengths: all succeed, and
+    the power-of-two window bucketing keeps the compiled-shape set bounded
+    (steady state never recompiles — serve.py:22-24). Compilations are
+    counted by wrapping the service's scan_fn and recording the bucketed
+    window-count shapes it sees."""
+    import threading
+
+    seen_shapes = set()
+    orig_scan = service.scan_fn
+
+    def counting_scan(variables, feat_windows, text_windows, *a, **k):
+        seen_shapes.add(feat_windows.shape[0])
+        return orig_scan(variables, feat_windows, text_windows, *a, **k)
+
+    service.scan_fn = counting_scan
+    try:
+        # warm the buckets once (the server does this at startup)
+        service.warmup(seconds=20.0)
+        warm_shapes = set(seen_shapes)
+
+        results, errors = [], []
+
+        def one(seconds, idx):
+            try:
+                audio = np.zeros(int(seconds * C.AUDIO_SR), np.float32)
+                words = [["hello", 0.1, 0.5], ["world", 1.0, 1.5]]
+                r = service.synthesize(audio, words, vid_idx=idx % 5)
+                results.append(r)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        lengths = [3.0, 4.5, 6.0, 8.0, 11.0, 14.0, 17.0, 19.5]
+        threads = [threading.Thread(target=one, args=(s, i))
+                   for i, s in enumerate(lengths)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errors, errors
+        assert len(results) == len(lengths)
+        for r in results:
+            assert r["frames"] > 0
+            assert np.isfinite(r["dir_vec"]).all()
+            assert r["elapsed_ms"] > 0
+        # steady state: every request hit a bucket already compiled during
+        # warmup — no new shapes after the warm set
+        assert seen_shapes == warm_shapes, (
+            f"requests created new scan shapes: {seen_shapes - warm_shapes}"
+        )
+    finally:
+        service.scan_fn = orig_scan

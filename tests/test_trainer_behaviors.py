@@ -64,14 +64,15 @@ def test_warmup_gates_gan(splits, tmp_path):
         break
     import jax
 
-    _, metrics_off = tr.train_step(
+    # train_step donates its input state — chain it like the trainer does
+    state, metrics_off = tr.train_step(
         tr.state, jax.device_put(sampler_batch), jax.random.key(0),
         gan_on=tr.epoch > tr.gan_cfg.loss_warmup,
     )
     assert "dis" not in metrics_off
     tr.epoch = 2
     _, metrics_on = tr.train_step(
-        tr.state, jax.device_put(sampler_batch), jax.random.key(0),
+        state, jax.device_put(sampler_batch), jax.random.key(0),
         gan_on=tr.epoch > tr.gan_cfg.loss_warmup,
     )
     assert "dis" in metrics_on

@@ -1,0 +1,123 @@
+"""On-TPU end-to-end dress rehearsal: the full main_v2 user journey.
+
+Drives the REAL user flow (reference procedure: main_v2.py:125-145 — train,
+then evaluate, then synthesize long clips) on whatever device JAX provides
+(the real TPU under axon; CPU elsewhere), with the synthetic corpus so it
+needs no external data:
+
+1. `main_v2.main(--synthetic-data true)` — short training run + batch eval;
+2. FGD evaluation with a random-init embedding-space evaluator
+   (`EmbeddingSpaceEvaluator.random_init`; the released embedding_net
+   weights aren't in this image);
+3. long-clip streaming synthesis over the stitched test clips
+   (`clip_eval.generate_gestures_by_dataset`) with pkl + video dump.
+
+Prints ONE JSON line of phase timings and output artifact shapes. Timing is
+honest by construction: every phase ends in host-side values (fetched
+metrics, files on disk), so wall-clock covers device execution — no
+block_until_ready anywhere (train/timing.py explains why that matters).
+
+Usage: python tools/dress_rehearsal.py [--epochs 2] [--batch-size 32]
+       [--no-video] [--out DRESS_REHEARSAL.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--no-video", action="store_true")
+    p.add_argument("--out", default="")
+    p.add_argument("--base-path", default="",
+                   help="work dir (default: a fresh temp dir)")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from speech2affective_gestures_tpu import main_v2
+    from speech2affective_gestures_tpu.train import clip_eval
+    from speech2affective_gestures_tpu.train.evaluator import (
+        EmbeddingSpaceEvaluator,
+    )
+
+    base = args.base_path or tempfile.mkdtemp(prefix="s2ag_rehearsal_")
+    cfg_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "config", "multimodal_context_v2.yml",
+    )
+    timings: dict[str, float] = {}
+    payload: dict = {
+        "device": jax.devices()[0].device_kind,
+        "base_path": base,
+    }
+
+    # 1. the verbatim CLI journey: train + batch-eval on synthetic data
+    t0 = time.perf_counter()
+    trainer = main_v2.main([
+        "-b", base, "-c", cfg_path,
+        "--synthetic-data", "true",
+        "--s2ag-num-epoch", str(args.epochs),
+        "--batch-size", str(args.batch_size),
+        "--val-interval", "1",
+        "--s2ag-load-last-best", "false",
+    ])
+    timings["train_and_eval_s"] = round(time.perf_counter() - t0, 2)
+    payload["epochs"] = args.epochs
+    payload["train_samples"] = trainer.train_data.n_samples
+    payload["checkpoints"] = sorted(
+        os.path.basename(f) for f in
+        glob.glob(os.path.join(trainer.work_dir, "*_model"))
+    )[-2:]
+
+    # 2. FGD scoring with a random-init evaluator (layout-true stand-in for
+    #    outputs/embedding_net.pth.tar, net/embedding_space_evaluator.py:20)
+    t0 = time.perf_counter()
+    trainer.evaluator = EmbeddingSpaceEvaluator.random_init()
+    eval_metrics = trainer.generate_gestures(
+        batch_size=min(512, trainer.test_data.n_samples), randomized=False
+    )
+    timings["fgd_eval_s"] = round(time.perf_counter() - t0, 2)
+    payload["eval"] = {k: round(float(v), 4) for k, v in eval_metrics.items()}
+    assert "FGD" in eval_metrics, "evaluator did not produce an FGD score"
+
+    # 3. long-clip streaming synthesis + artifact dump
+    render_dir = os.path.join(base, "render")
+    t0 = time.perf_counter()
+    results = clip_eval.generate_gestures_by_dataset(
+        trainer, dataset="ted_db", check_duration=False,
+        make_video=not args.no_video, save_pkl=True, save_path=render_dir,
+        randomized=False,
+    )
+    timings["synthesis_s"] = round(time.perf_counter() - t0, 2)
+    payload["clips_synthesized"] = len(results)
+    payload["clip_shapes"] = [
+        list(res[0].shape) for _, res in results[:3]
+    ]
+    payload["artifacts"] = sorted(
+        os.path.basename(f) for f in glob.glob(os.path.join(render_dir, "*"))
+    )[:8]
+    assert len(results) > 0, "no clips were synthesized"
+    assert any(f.endswith(".pkl") for f in payload["artifacts"])
+
+    payload["timings"] = timings
+    line = json.dumps(payload)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
