@@ -71,6 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "split in HBM with on-device gathers; 'grain' uses "
                         "the multiprocess checkpointable grain loader "
                         "(mid-epoch resume)")
+    p.add_argument("--trimodal-metric-interval", type=int, default=1,
+                   help="compute the frozen-trimodal comparison metric "
+                        "every K-th train step (1 = every step = reference "
+                        "parity; the forward is metric-only and ~8%% of "
+                        "step time)")
     p.add_argument("--val-interval", type=int, default=1)
     p.add_argument("--log-interval", type=int, default=200)
     p.add_argument("--save-interval", type=int, default=10)
@@ -159,6 +164,7 @@ def main(argv=None, variant: str = "s2ag"):
         gradient_clip=args.gradient_clip if args.apply_gradient_clip else 0.0,
         lr_decay=args.lr_s2ag_decay if args.apply_lr_decay else 1.0,
         loader=args.loader,
+        trimodal_metric_interval=args.trimodal_metric_interval,
     )
     trainer.logger.save_arg(vars(args))
     if not args.apply_lr_decay:

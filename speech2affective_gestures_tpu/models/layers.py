@@ -32,9 +32,21 @@ from flax import linen as nn
 # tiny ((D, B, H) x (D, H, 3H) einsums), so the 34-step scans are bound by
 # per-iteration loop overhead, not FLOPs; unrolling lets XLA fuse across
 # steps and amortize the bookkeeping. Numerically identical for any value
-# (it only changes loop structure). Tuned on the v5e (tools/bench_step_opt.py);
-# override with S2AG_RNN_UNROLL=1 to minimize compile time.
+# (it only changes loop structure). Tuned on the v5e (tools/bench_step_opt.py):
+# unroll HURTS on this chip (58 -> 47/51 steps/s at 4/8), so the default
+# stays 1; override with S2AG_RNN_UNROLL to re-test on other hardware.
 RNN_UNROLL = int(os.environ.get("S2AG_RNN_UNROLL", "1"))
+
+
+def _gru_engine() -> str:
+    """'pallas' = fused single-kernel time loop (ops/gru_pallas.py), the
+    default on TPU where per-scan-iteration dispatch (~10 us) dominates the
+    cell math; 'scan' = lax.scan, the default elsewhere and the reference
+    semantics both engines implement. Override with S2AG_GRU_ENGINE."""
+    env = os.environ.get("S2AG_GRU_ENGINE", "")
+    if env in ("pallas", "scan"):
+        return env
+    return "pallas" if jax.default_backend() == "tpu" else "scan"
 
 
 # --------------------------------------------------------------------------
@@ -416,20 +428,25 @@ class GRU(nn.Module):
                 xps.append(jnp.flip(xp, axis=0) if d else xp)
             xp = jnp.stack(xps, axis=1)  # (T, D, B, 3H)
 
-            h0 = jnp.zeros((num_dir, inputs.shape[0], hsz), inputs.dtype)
+            if _gru_engine() == "pallas":
+                from ..ops import gru_pallas
 
-            def cell(h, xp_t):
-                hp = jnp.einsum("dbh,dhk->dbk", h, w_hh) + b_hh[:, None, :]
-                r = jax.nn.sigmoid(xp_t[..., :hsz] + hp[..., :hsz])
-                z = jax.nn.sigmoid(
-                    xp_t[..., hsz : 2 * hsz] + hp[..., hsz : 2 * hsz]
-                )
-                n = jnp.tanh(xp_t[..., 2 * hsz :] + r * hp[..., 2 * hsz :])
-                h_new = (1.0 - z) * n + z * h
-                return h_new, h_new
+                ys, h_last = gru_pallas.run_layer(xp, w_hh, b_hh)
+            else:
+                h0 = jnp.zeros((num_dir, inputs.shape[0], hsz), inputs.dtype)
 
-            h_last, ys = jax.lax.scan(cell, h0, xp,
-                                      unroll=RNN_UNROLL)  # ys (T, D, B, H)
+                def cell(h, xp_t):
+                    hp = jnp.einsum("dbh,dhk->dbk", h, w_hh) + b_hh[:, None, :]
+                    r = jax.nn.sigmoid(xp_t[..., :hsz] + hp[..., :hsz])
+                    z = jax.nn.sigmoid(
+                        xp_t[..., hsz : 2 * hsz] + hp[..., hsz : 2 * hsz]
+                    )
+                    n = jnp.tanh(xp_t[..., 2 * hsz :] + r * hp[..., 2 * hsz :])
+                    h_new = (1.0 - z) * n + z * h
+                    return h_new, h_new
+
+                h_last, ys = jax.lax.scan(cell, h0, xp,
+                                          unroll=RNN_UNROLL)  # (T, D, B, H)
             outs = [jnp.swapaxes(ys[:, 0], 0, 1)]
             if num_dir == 2:
                 outs.append(jnp.swapaxes(jnp.flip(ys[:, 1], axis=0), 0, 1))

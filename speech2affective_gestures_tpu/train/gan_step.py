@@ -211,9 +211,16 @@ def make_train_step(
     # second copy each step. Callers must treat the passed-in state as
     # consumed (the trainer's `state = train_step(state, ...)` pattern).
     # No-op on backends without donation support (CPU tests).
-    @partial(jax.jit, static_argnames=("gan_on",), donate_argnums=(0,))
+    #
+    # tri_metric (static): compute the frozen-trimodal comparison metric
+    # this step. The reference runs that forward EVERY train step purely
+    # for logging (processor_v2.py:821); it is ~8% of the step's device
+    # time (tools/profile_step.py), so the trainer can gate it to every
+    # K-th step via --trimodal-metric-interval. True = reference parity.
+    @partial(jax.jit, static_argnames=("gan_on", "tri_metric"),
+             donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict, rng: jax.Array,
-                   gan_on: bool = True):
+                   gan_on: bool = True, tri_metric: bool = True):
         in_text = batch["extended_word_seq"]
         target = batch["vec_seq"]
         in_mfcc = batch[cfg.generator_input]
@@ -296,7 +303,7 @@ def make_train_step(
 
         # -------------------------------------- trimodal comparison (frozen)
         s2ag_l1 = losses.l1(out, target)
-        if tri_apply is not None and state.tri_params is not None:
+        if tri_metric and tri_apply is not None and state.tri_params is not None:
             (tri_out, *_), _ = tri_apply(
                 {"params": state.tri_params, "batch_stats": state.tri_stats},
                 pre_seq, in_text, in_audio, vids,

@@ -89,6 +89,7 @@ class Trainer:
         gradient_clip: float = 0.0,
         lr_decay: float = 1.0,
         loader: str = "device",
+        trimodal_metric_interval: int = 1,
     ):
         self.cfg = cfg
         self.work_dir = work_dir
@@ -102,6 +103,10 @@ class Trainer:
         self.val_interval = val_interval
         self.save_interval = save_interval
         self.evaluator = evaluator
+        # frozen-trimodal comparison metric every K-th train step (1 =
+        # every step = reference parity, processor_v2.py:821; the forward
+        # is metric-only and costs ~8% of the step, tools/profile_step.py)
+        self.trimodal_metric_interval = max(1, trimodal_metric_interval)
 
         ref = train_data or val_data or test_data
         n_words = ref.lang_model.n_words if ref and ref.lang_model else 1000
@@ -227,9 +232,11 @@ class Trainer:
         gan_on = self.epoch > self.gan_cfg.loss_warmup
         total, n = 0.0, 0
         start = time.time()
+        tri_every = self.trimodal_metric_interval
         for i, batch in self._epoch_batches(max_iters):
             self.state, metrics = self.train_step(
-                self.state, self._put(batch), self._next_rng(), gan_on=gan_on
+                self.state, self._put(batch), self._next_rng(), gan_on=gan_on,
+                tri_metric=(tri_every == 1 or i % tri_every == 0),
             )
             loss = float(metrics.get("s2ag_vs_trimodal_l1", metrics["s2ag_l1"]))
             if self.check_finite and not np.isfinite(loss):

@@ -14,6 +14,8 @@ from speech2affective_gestures_tpu.config import ModelConfig
 from speech2affective_gestures_tpu.data.vocab import Vocab
 from speech2affective_gestures_tpu.models.generator import PoseGenerator
 
+pytestmark = pytest.mark.slow  # compile-heavy: window-scan buckets
+
 CFG = ModelConfig(hidden_size=32, hidden_size_s2eg=32, n_layers=2)
 
 

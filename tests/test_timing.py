@@ -119,6 +119,7 @@ def test_step_timer_value_fetch_sync():
     assert s["steps_per_sec"] > 0
 
 
+@pytest.mark.slow  # compiles the full train step
 def test_train_step_donation_safe_chaining():
     """The donated TrainState must chain through repeated steps (the only
     supported usage pattern) without error and keep updating."""

@@ -19,9 +19,19 @@ N_WORDS, N_SPK = 40, 12
 
 @pytest.fixture(scope="module")
 def setup():
-    return builder.init_training(
+    s = builder.init_training(
         CFG, jax.random.key(0), n_words=N_WORDS, n_speakers=N_SPK
     )
+    # train_step DONATES its input TrainState; keep a host-side snapshot so
+    # every test gets fresh device buffers and before/after comparisons
+    # read never-donated host arrays
+    s["host_state"] = jax.device_get(s["state"])
+    return s
+
+
+@pytest.fixture()
+def fresh_state(setup):
+    return jax.device_put(setup["host_state"])
 
 
 def _batch(seed=0, bs=8):
@@ -39,10 +49,10 @@ def test_pre_seq_construction():
     np.testing.assert_array_equal(np.asarray(pre[:, :4, :-1]), 1.0)
 
 
-def test_train_step_updates_both_nets(setup):
-    state = setup["state"]
+def test_train_step_updates_both_nets(setup, fresh_state):
+    state = setup["host_state"]
     new_state, metrics = setup["train_step"](
-        state, _batch(), jax.random.key(1), gan_on=True
+        fresh_state, _batch(), jax.random.key(1), gan_on=True
     )
     # params changed
     g_delta = jax.tree.reduce(
@@ -67,10 +77,10 @@ def test_train_step_updates_both_nets(setup):
         assert np.isfinite(float(metrics[key])), key
 
 
-def test_warmup_skips_discriminator(setup):
-    state = setup["state"]
+def test_warmup_skips_discriminator(setup, fresh_state):
+    state = setup["host_state"]
     new_state, metrics = setup["train_step"](
-        state, _batch(), jax.random.key(1), gan_on=False
+        fresh_state, _batch(), jax.random.key(1), gan_on=False
     )
     assert "dis" not in metrics and "gen" not in metrics
     d_delta = jax.tree.reduce(
@@ -83,18 +93,18 @@ def test_warmup_skips_discriminator(setup):
     assert d_delta == 0.0  # D untouched during warmup
 
 
-def test_eval_step_no_mutation(setup):
+def test_eval_step_no_mutation(setup, fresh_state):
     out, metrics = setup["eval_step"](
-        setup["state"], _batch(3), jax.random.key(2), gan_on=True
+        fresh_state, _batch(3), jax.random.key(2), gan_on=True
     )
     assert out.shape == (8, CFG.n_poses, 27)
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["dis"]))
 
 
-def test_loss_decreases_on_regression_objective(setup):
+def test_loss_decreases_on_regression_objective(setup, fresh_state):
     """A few steps of pure-regression training should reduce the Huber term."""
-    state = setup["state"]
+    state = fresh_state
     batch = _batch(7, bs=16)
     first = None
     for i in range(8):
@@ -109,7 +119,7 @@ def test_loss_decreases_on_regression_objective(setup):
 def test_data_parallel_step_matches_semantics(setup, mesh8):
     """Same step under the 8-device mesh: runs, shards the batch, and yields
     finite metrics; state stays replicated."""
-    state = pmesh.replicate_state(setup["state"], mesh8)
+    state = pmesh.replicate_state(setup["host_state"], mesh8)
     batch = pmesh.shard_batch(_batch(5, bs=16), mesh8)
     step = pmesh.data_parallel_step(setup["train_step"], mesh8)
     new_state, metrics = step(state, batch, jax.random.key(3), gan_on=True)
