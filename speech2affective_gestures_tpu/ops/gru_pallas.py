@@ -40,6 +40,7 @@ path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +50,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 B_TILE = 128
 LANE = 128
+# time steps processed per grid iteration: amortizes the fixed per-grid-step
+# cost (pipeline bookkeeping dominates the ~1 us of MXU work per step).
+# Bound at trace time; tuned on the v5e via tools/bench_gru_engine.py.
+TIME_BLOCK = int(os.environ.get("S2AG_GRU_TT", "2"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -59,7 +64,7 @@ def _round_up(x: int, m: int) -> int:
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(xp_ref, wcat_ref, bhn_ref, out_ref, h_ref):
+def _fwd_kernel(TT, xp_ref, wcat_ref, bhn_ref, out_ref, h_ref):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -69,15 +74,16 @@ def _fwd_kernel(xp_ref, wcat_ref, bhn_ref, out_ref, h_ref):
     n_dir, _, P = h_ref.shape
     for d in range(n_dir):
         h = h_ref[d]                                    # (B, P)
-        hp = jnp.dot(h, wcat_ref[d],
-                     preferred_element_type=jnp.float32)  # (B, 3P)
-        hp_n = hp[:, 2 * P:] + bhn_ref[d]
-        r = jax.nn.sigmoid(xp_ref[0, 0, d] + hp[:, :P])
-        z = jax.nn.sigmoid(xp_ref[0, 1, d] + hp[:, P:2 * P])
-        n = jnp.tanh(xp_ref[0, 2, d] + r * hp_n)
-        h_new = (1.0 - z) * n + z * h
-        h_ref[d] = h_new
-        out_ref[0, d] = h_new
+        for tt in range(TT):
+            hp = jnp.dot(h, wcat_ref[d],
+                         preferred_element_type=jnp.float32)  # (B, 3P)
+            hp_n = hp[:, 2 * P:] + bhn_ref[d]
+            r = jax.nn.sigmoid(xp_ref[tt, 0, d] + hp[:, :P])
+            z = jax.nn.sigmoid(xp_ref[tt, 1, d] + hp[:, P:2 * P])
+            n = jnp.tanh(xp_ref[tt, 2, d] + r * hp_n)
+            h = (1.0 - z) * n + z * h
+            out_ref[tt, d] = h
+        h_ref[d] = h
 
 
 def _tiles(B: int):
@@ -88,15 +94,16 @@ def _tiles(B: int):
 def _fwd_call(xp, w_cat, b_hn, interpret=False):
     T, _, D, B, P = xp.shape
     nb, bt = _tiles(B)
+    TT = TIME_BLOCK if T % TIME_BLOCK == 0 else 1
     return pl.pallas_call(
-        _fwd_kernel,
-        grid=(nb, T),
+        functools.partial(_fwd_kernel, TT),
+        grid=(nb, T // TT),
         in_specs=[
-            pl.BlockSpec((1, 3, D, bt, P), lambda b, t: (t, 0, 0, b, 0)),
+            pl.BlockSpec((TT, 3, D, bt, P), lambda b, t: (t, 0, 0, b, 0)),
             pl.BlockSpec((D, P, 3 * P), lambda b, t: (0, 0, 0)),
             pl.BlockSpec((D, 1, P), lambda b, t: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, D, bt, P), lambda b, t: (t, 0, b, 0)),
+        out_specs=pl.BlockSpec((TT, D, bt, P), lambda b, t: (t, 0, b, 0)),
         out_shape=jax.ShapeDtypeStruct((T, D, B, P), jnp.float32),
         scratch_shapes=[pltpu.VMEM((D, bt, P), jnp.float32)],
         interpret=interpret,
@@ -107,11 +114,13 @@ def _fwd_call(xp, w_cat, b_hn, interpret=False):
 # backward (reverse time loop; gates recomputed from saved outputs)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(T, xp_ref, wcat_ref, wcatT_ref, bhn_ref, ys_ref,
+def _bwd_kernel(TT, n_tblocks, xp_ref, wcat_ref, wcatT_ref, bhn_ref, ys_ref,
                 ys_prev_ref, dys_ref, dxp_ref, dwcat_ref, dbhn_ref, dh_ref):
     b = pl.program_id(0)
     t = pl.program_id(1)
-    rt = T - 1 - t  # the time step this grid iteration processes
+    # this grid iteration processes time block rb (in reverse), i.e. global
+    # steps [rb*TT, rb*TT + TT) walked from the top
+    rb = n_tblocks - 1 - t
 
     @pl.when(t == 0)
     def _init_carry():
@@ -123,68 +132,78 @@ def _bwd_kernel(T, xp_ref, wcat_ref, wcatT_ref, bhn_ref, ys_ref,
         dbhn_ref[...] = jnp.zeros_like(dbhn_ref)
 
     n_dir, _, P = dh_ref.shape
-    first = (rt == 0)
     for d in range(n_dir):
-        h_prev = jnp.where(first, 0.0, ys_prev_ref[0, d])   # (B, P)
-        hp = jnp.dot(h_prev, wcat_ref[d],
-                     preferred_element_type=jnp.float32)
-        hp_n = hp[:, 2 * P:] + bhn_ref[d]
-        r = jax.nn.sigmoid(xp_ref[0, 0, d] + hp[:, :P])
-        z = jax.nn.sigmoid(xp_ref[0, 1, d] + hp[:, P:2 * P])
-        n = jnp.tanh(xp_ref[0, 2, d] + r * hp_n)
+        dh_carry = dh_ref[d]
+        dw_acc = jnp.zeros_like(dwcat_ref[d])
+        dbn_acc = jnp.zeros_like(dbhn_ref[d])
+        for tt in reversed(range(TT)):
+            if tt > 0:
+                h_prev = ys_ref[tt - 1, d]
+            else:
+                # previous block's last step; masked to 0 at global step 0
+                h_prev = jnp.where(rb == 0, 0.0, ys_prev_ref[TT - 1, d])
+            hp = jnp.dot(h_prev, wcat_ref[d],
+                         preferred_element_type=jnp.float32)
+            hp_n = hp[:, 2 * P:] + bhn_ref[d]
+            r = jax.nn.sigmoid(xp_ref[tt, 0, d] + hp[:, :P])
+            z = jax.nn.sigmoid(xp_ref[tt, 1, d] + hp[:, P:2 * P])
+            n = jnp.tanh(xp_ref[tt, 2, d] + r * hp_n)
 
-        dh = dys_ref[0, d] + dh_ref[d]
-        dn = dh * (1.0 - z)
-        dz = dh * (h_prev - n)
-        dpre_n = dn * (1.0 - n * n)
-        dr = dpre_n * hp_n
-        dhp_n = dpre_n * r
-        dpre_z = dz * z * (1.0 - z)
-        dpre_r = dr * r * (1.0 - r)
+            dh = dys_ref[tt, d] + dh_carry
+            dn = dh * (1.0 - z)
+            dz = dh * (h_prev - n)
+            dpre_n = dn * (1.0 - n * n)
+            dr = dpre_n * hp_n
+            dhp_n = dpre_n * r
+            dpre_z = dz * z * (1.0 - z)
+            dpre_r = dr * r * (1.0 - r)
 
-        dxp_ref[0, 0, d] = dpre_r
-        dxp_ref[0, 1, d] = dpre_z
-        dxp_ref[0, 2, d] = dpre_n
+            dxp_ref[tt, 0, d] = dpre_r
+            dxp_ref[tt, 1, d] = dpre_z
+            dxp_ref[tt, 2, d] = dpre_n
 
-        dhp_cat = jnp.concatenate([dpre_r, dpre_z, dhp_n], axis=1)  # (B,3P)
-        # dh_prev = dh*z + dhp_cat @ W^T  (one contraction over the out dim)
-        dh_prev = dh * z + jnp.dot(dhp_cat, wcatT_ref[d],
-                                   preferred_element_type=jnp.float32)
-        dh_ref[d] = dh_prev
-
-        # weight/bias grads: accumulate across every (b, t) grid step
-        dwcat_ref[d] += jax.lax.dot_general(
-            h_prev, dhp_cat, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (P, 3P)
-        dbhn_ref[d] += jnp.sum(dhp_n, axis=0, keepdims=True)
+            dhp_cat = jnp.concatenate([dpre_r, dpre_z, dhp_n], axis=1)
+            # dh_prev = dh*z + dhp_cat @ W^T (one contraction)
+            dh_carry = dh * z + jnp.dot(dhp_cat, wcatT_ref[d],
+                                        preferred_element_type=jnp.float32)
+            dw_acc += jax.lax.dot_general(
+                h_prev, dhp_cat, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (P, 3P)
+            dbn_acc += jnp.sum(dhp_n, axis=0, keepdims=True)
+        dh_ref[d] = dh_carry
+        # accumulate across every (b, t) grid step
+        dwcat_ref[d] += dw_acc
+        dbhn_ref[d] += dbn_acc
 
 
 def _bwd_call(xp, w_cat, w_catT, b_hn, ys, dys, interpret=False):
     T, _, D, B, P = xp.shape
     nb, bt = _tiles(B)
+    TT = TIME_BLOCK if T % TIME_BLOCK == 0 else 1
+    n_tb = T // TT
 
     dxp, dwcat, dbhn = pl.pallas_call(
-        functools.partial(_bwd_kernel, T),
-        grid=(nb, T),
+        functools.partial(_bwd_kernel, TT, n_tb),
+        grid=(nb, n_tb),
         in_specs=[
-            pl.BlockSpec((1, 3, D, bt, P),
-                         lambda b, t: (T - 1 - t, 0, 0, b, 0)),
+            pl.BlockSpec((TT, 3, D, bt, P),
+                         lambda b, t: (n_tb - 1 - t, 0, 0, b, 0)),
             pl.BlockSpec((D, P, 3 * P), lambda b, t: (0, 0, 0)),
             pl.BlockSpec((D, 3 * P, P), lambda b, t: (0, 0, 0)),
             pl.BlockSpec((D, 1, P), lambda b, t: (0, 0, 0)),
-            pl.BlockSpec((1, D, bt, P), lambda b, t: (T - 1 - t, 0, b, 0)),
-            # h_{t-1} = ys[rt-1] (clamped; the rt==0 case is masked to 0
-            # inside the kernel)
+            pl.BlockSpec((TT, D, bt, P), lambda b, t: (n_tb - 1 - t, 0, b, 0)),
+            # the PREVIOUS time block (its last step is h_prev for tt=0;
+            # clamped at the bottom, masked to 0 inside the kernel)
             pl.BlockSpec(
-                (1, D, bt, P),
-                lambda b, t: (jnp.maximum(T - 2 - t, 0), 0, b, 0),
+                (TT, D, bt, P),
+                lambda b, t: (jnp.maximum(n_tb - 2 - t, 0), 0, b, 0),
             ),
-            pl.BlockSpec((1, D, bt, P), lambda b, t: (T - 1 - t, 0, b, 0)),
+            pl.BlockSpec((TT, D, bt, P), lambda b, t: (n_tb - 1 - t, 0, b, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 3, D, bt, P),
-                         lambda b, t: (T - 1 - t, 0, 0, b, 0)),
+            pl.BlockSpec((TT, 3, D, bt, P),
+                         lambda b, t: (n_tb - 1 - t, 0, 0, b, 0)),
             pl.BlockSpec((D, P, 3 * P), lambda b, t: (0, 0, 0)),
             pl.BlockSpec((D, 1, P), lambda b, t: (0, 0, 0)),
         ],

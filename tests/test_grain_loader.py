@@ -58,6 +58,7 @@ def test_loader_shuffles_deterministically(dataset):
     assert not np.allclose(a, c)
 
 
+@pytest.mark.slow  # compiles a full train loop/step
 def test_batches_feed_train_step(dataset):
     import jax
 

@@ -102,3 +102,46 @@ def test_gradients_with_batch_padding(rng):
     for g_got, g_want in zip(got, want):
         np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_time_blocked_kernel_matches_scan(rng, monkeypatch):
+    """TT=2 path (the production default for T=34): values + grads."""
+    monkeypatch.setattr(gru_pallas, "TIME_BLOCK", 2)
+    T2 = 8
+    xp = jnp.asarray(rng.standard_normal((T2, D, B, 3 * H)).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((D, H, 3 * H)) / 4).astype(np.float32))
+    b = jnp.asarray((rng.standard_normal((D, 3 * H)) * 0.1).astype(np.float32))
+
+    want_ys, want_h = scan_reference(xp, w, b)
+    got_ys, got_h = gru_pallas.run_layer(xp, w, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_ys), np.asarray(want_ys),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(fn):
+        def inner(xp, w, b):
+            ys, _ = fn(xp, w, b)
+            return jnp.sum(jnp.sin(ys) * ys)
+        return inner
+
+    want = jax.grad(loss(scan_reference), argnums=(0, 1, 2))(xp, w, b)
+    got = jax.grad(
+        loss(lambda *a: gru_pallas.run_layer(*a, interpret=True)),
+        argnums=(0, 1, 2),
+    )(xp, w, b)
+    for name, g_got, g_want in zip(("dxp", "dw", "db"), got, want):
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                                   rtol=2e-4, atol=1e-5, err_msg=name)
+
+
+def test_time_block_fallback_when_not_divisible(monkeypatch, rng):
+    """T not divisible by TIME_BLOCK falls back to per-step grid."""
+    monkeypatch.setattr(gru_pallas, "TIME_BLOCK", 4)
+    xp = jnp.asarray(rng.standard_normal((7, 1, 4, 3 * H)).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((1, H, 3 * H)) / 4).astype(np.float32))
+    b = jnp.zeros((1, 3 * H), jnp.float32)
+    want_ys, _ = scan_reference(xp, w, b)
+    got_ys, _ = gru_pallas.run_layer(xp, w, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_ys), np.asarray(want_ys),
+                               rtol=1e-5, atol=1e-6)

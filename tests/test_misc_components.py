@@ -86,6 +86,7 @@ def test_transcribe_corpus_with_fake_backend(tmp_path, rng):
     assert (tmp_path / "out" / "a.txt").read_text() == "hello hello"
 
 
+@pytest.mark.slow  # compiles a full train loop/step
 def test_main_v1_cli_synthetic(tmp_path):
     import yaml
 
