@@ -31,13 +31,14 @@ class AffDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, poses, in_text=None, train: bool = False):
         feat = AffEncoder(name="aff_encoder")(poses, train=train)  # (B,T,8)
+        # time-major head: only the (T, B) per-step logits transpose back
         out, _ = L.GRU(
             self.hidden_size, num_layers=4, bidirectional=True,
-            dropout=self.dropout_prob, name="gru",
+            dropout=self.dropout_prob, name="gru", time_major_out=True,
         )(feat, deterministic=not train)
         out = L.sum_bidirectional(out, self.hidden_size)
-        out = L.Linear(1, name="out")(out)[..., 0]       # (B, T)
-        out = L.Linear(1, name="out2")(out)              # (B, 1)
+        out = L.Linear(1, name="out")(out)[..., 0]       # (T, B)
+        out = L.Linear(1, name="out2")(out.T)            # (B, 1)
         return nn.sigmoid(out)
 
 
@@ -60,11 +61,11 @@ class ConvDiscriminatorTriModal(nn.Module):
 
         out, _ = L.GRU(
             self.hidden_size, num_layers=4, bidirectional=True,
-            dropout=self.dropout_prob, name="gru",
+            dropout=self.dropout_prob, name="gru", time_major_out=True,
         )(x, deterministic=not train)
         out = L.sum_bidirectional(out, self.hidden_size)
-        out = L.Linear(1, name="out")(out)[..., 0]       # (B, T-6)
-        out = L.Linear(1, name="out2")(out)              # (B, 1)
+        out = L.Linear(1, name="out")(out)[..., 0]       # (T-6, B)
+        out = L.Linear(1, name="out2")(out.T)            # (B, 1)
         return nn.sigmoid(out)
 
 

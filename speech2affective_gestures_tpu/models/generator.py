@@ -131,17 +131,21 @@ class PoseGenerator(nn.Module):
             z_rep = jnp.repeat(z_context[:, None, :], in_data.shape[1], axis=1)
             in_data = jnp.concatenate([in_data, z_rep], axis=-1)
 
+        # time-major from the GRU through the per-frame head: only the final
+        # (T, B, pose_dim) tensor is transposed back (layers.GRU docstring)
         out, _ = L.GRU(
             self.hidden_size,
             num_layers=self.n_layers,
             bidirectional=True,
             dropout=self.dropout_prob,
             name="gru",
+            time_major_out=True,
         )(in_data, deterministic=not train)
         out = L.sum_bidirectional(out, self.hidden_size)
         out = L.Linear(self.hidden_size // 2, name="out1")(out)
         out = L.leaky_relu(out, 0.01)  # nn.LeakyReLU(inplace=True)
         out = L.Linear(self.pose_dim, name="out2")(out)
+        out = jnp.swapaxes(out, 0, 1)
         return out, z_context, z_mu, z_log_var
 
 
@@ -203,12 +207,14 @@ class PoseGeneratorTriModal(nn.Module):
             bidirectional=True,
             dropout=self.dropout_prob,
             name="gru",
+            time_major_out=True,
         )(in_data, deterministic=not train)
         out = L.sum_bidirectional(out, self.hidden_size)
         out = L.Linear(self.hidden_size // 2, name="out1")(out)
         # reference: nn.LeakyReLU(True) => negative_slope=1.0 => identity
         out = L.leaky_relu(out, 1.0)
         out = L.Linear(self.pose_dim, name="out2")(out)
+        out = jnp.swapaxes(out, 0, 1)
         return out, z_context, z_mu, z_log_var
 
 
@@ -267,7 +273,7 @@ class PoseGeneratorV1(nn.Module):
 
         out, _ = L.GRU(
             self.hidden_size, num_layers=self.n_layers, bidirectional=True,
-            dropout=self.dropout_prob, name="gru",
+            dropout=self.dropout_prob, name="gru", time_major_out=True,
         )(in_data, deterministic=not train)
         out = L.sum_bidirectional(out, self.hidden_size)
         out = L.Linear(self.hidden_size // 2, name="out1")(out)
@@ -275,4 +281,5 @@ class PoseGeneratorV1(nn.Module):
         # (net/multimodal_context_net_v1.py:299)
         out = L.leaky_relu(out, 1.0)
         out = L.Linear(self.pose_dim, name="out2")(out)
+        out = jnp.swapaxes(out, 0, 1)
         return out, z_context, z_mu, z_log_var

@@ -390,6 +390,12 @@ class GRU(nn.Module):
     num_layers: int = 1
     bidirectional: bool = False
     dropout: float = 0.0
+    # return (T, B, D*H) without the exit transpose: the (B, T) <-> (T, B)
+    # layout change materializes multi-MB copies on TPU, and every consumer
+    # of the GRU output in this model family (sum_bidirectional + per-frame
+    # Linear heads) is position-independent, so callers can stay time-major
+    # until their final, much smaller, tensor
+    time_major_out: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -397,15 +403,18 @@ class GRU(nn.Module):
         hsz = self.hidden_size
         bound = 1.0 / math.sqrt(hsz)
 
-        def layer_pass(inputs, layer):
-            """One (bi)directional layer as a SINGLE scan.
+        def layer_pass(inputs_tm, layer):
+            """One (bi)directional layer as a SINGLE scan, TIME-MAJOR.
 
             Both directions run in the same scan with a leading direction
             axis (the backward copy consumes time-reversed inputs), so the
             recurrent update is one batched einsum per step instead of two
-            sequential scans — same math, half the sequential launches.
+            sequential scans. The whole stack stays time-major (T, B, C):
+            per-layer (B,T)<->(T,B) transposes cost ~0.2-0.3 ms EACH as
+            materialized layout copies on TPU (device trace, ~6/forward),
+            so the stack transposes exactly once at entry and exit.
             """
-            cin = inputs.shape[-1]
+            cin = inputs_tm.shape[-1]
             tags = [f"l{layer}"] + ([f"l{layer}_rev"] if num_dir == 2 else [])
             w_ih = [self.param(f"w_ih_{t}", torch_uniform(bound), (cin, 3 * hsz))
                     for t in tags]
@@ -420,11 +429,10 @@ class GRU(nn.Module):
                 for t in tags
             ])  # (D, 3H)
 
-            # hoisted input projections: one big (B*T, C) @ (C, 3H) per dir
+            # hoisted input projections: one big (T*B, C) @ (C, 3H) per dir
             xps = []
             for d in range(num_dir):
-                xp = jnp.matmul(inputs, w_ih[d]) + b_ih[d]
-                xp = jnp.swapaxes(xp, 0, 1)  # (T, B, 3H)
+                xp = jnp.matmul(inputs_tm, w_ih[d]) + b_ih[d]  # (T, B, 3H)
                 xps.append(jnp.flip(xp, axis=0) if d else xp)
             xp = jnp.stack(xps, axis=1)  # (T, D, B, 3H)
 
@@ -433,7 +441,8 @@ class GRU(nn.Module):
 
                 ys, h_last = gru_pallas.run_layer(xp, w_hh, b_hh)
             else:
-                h0 = jnp.zeros((num_dir, inputs.shape[0], hsz), inputs.dtype)
+                h0 = jnp.zeros((num_dir, inputs_tm.shape[1], hsz),
+                               inputs_tm.dtype)
 
                 def cell(h, xp_t):
                     hp = jnp.einsum("dbh,dhk->dbk", h, w_hh) + b_hh[:, None, :]
@@ -447,18 +456,21 @@ class GRU(nn.Module):
 
                 h_last, ys = jax.lax.scan(cell, h0, xp,
                                           unroll=RNN_UNROLL)  # (T, D, B, H)
-            outs = [jnp.swapaxes(ys[:, 0], 0, 1)]
+            outs = [ys[:, 0]]
             if num_dir == 2:
-                outs.append(jnp.swapaxes(jnp.flip(ys[:, 1], axis=0), 0, 1))
-            return jnp.concatenate(outs, axis=-1), h_last  # (B,T,D*H), (D,B,H)
+                outs.append(jnp.flip(ys[:, 1], axis=0))
+            # (T, B, D*H) — still time-major
+            return jnp.concatenate(outs, axis=-1), h_last
 
-        out = x
+        out = jnp.swapaxes(x, 0, 1)  # ONE transpose in...
         finals = []
         for layer in range(self.num_layers):
             out, h_last = layer_pass(out, layer)
             finals.extend(h_last[d] for d in range(num_dir))
             if self.dropout > 0.0 and layer < self.num_layers - 1:
                 out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
+        if not self.time_major_out:
+            out = jnp.swapaxes(out, 0, 1)  # ...and ONE transpose out
         return out, jnp.stack(finals, axis=0)
 
 
@@ -478,9 +490,9 @@ class LSTM(nn.Module):
         hsz = self.hidden_size
         bound = 1.0 / math.sqrt(hsz)
 
-        def layer_pass(inputs, layer):
-            # both directions in one scan (see GRU.layer_pass)
-            cin = inputs.shape[-1]
+        def layer_pass(inputs_tm, layer):
+            # both directions in one scan, time-major (see GRU.layer_pass)
+            cin = inputs_tm.shape[-1]
             tags = [f"l{layer}"] + ([f"l{layer}_rev"] if num_dir == 2 else [])
             w_ih = [self.param(f"w_ih_{t}", torch_uniform(bound), (cin, 4 * hsz))
                     for t in tags]
@@ -497,12 +509,12 @@ class LSTM(nn.Module):
 
             xps = []
             for d in range(num_dir):
-                xp = jnp.matmul(inputs, w_ih[d]) + b_ih[d]
-                xp = jnp.swapaxes(xp, 0, 1)
+                xp = jnp.matmul(inputs_tm, w_ih[d]) + b_ih[d]  # (T, B, 4H)
                 xps.append(jnp.flip(xp, axis=0) if d else xp)
             xp = jnp.stack(xps, axis=1)  # (T, D, B, 4H)
 
-            h0 = jnp.zeros((num_dir, inputs.shape[0], hsz), inputs.dtype)
+            h0 = jnp.zeros((num_dir, inputs_tm.shape[1], hsz),
+                           inputs_tm.dtype)
             c0 = jnp.zeros_like(h0)
 
             def cell(carry, xp_t):
@@ -518,12 +530,13 @@ class LSTM(nn.Module):
 
             (h_last, c_last), ys = jax.lax.scan(cell, (h0, c0), xp,
                                                 unroll=RNN_UNROLL)
-            outs = [jnp.swapaxes(ys[:, 0], 0, 1)]
+            outs = [ys[:, 0]]
             if num_dir == 2:
-                outs.append(jnp.swapaxes(jnp.flip(ys[:, 1], axis=0), 0, 1))
+                outs.append(jnp.flip(ys[:, 1], axis=0))
+            # (T, B, D*H) — still time-major
             return jnp.concatenate(outs, axis=-1), (h_last, c_last)
 
-        out = x
+        out = jnp.swapaxes(x, 0, 1)  # ONE transpose in...
         h_finals, c_finals = [], []
         for layer in range(self.num_layers):
             out, (h_last, c_last) = layer_pass(out, layer)
@@ -531,6 +544,7 @@ class LSTM(nn.Module):
             c_finals.extend(c_last[d] for d in range(num_dir))
             if self.dropout > 0.0 and layer < self.num_layers - 1:
                 out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
+        out = jnp.swapaxes(out, 0, 1)  # ...and ONE transpose out
         return out, (jnp.stack(h_finals, 0), jnp.stack(c_finals, 0))
 
 

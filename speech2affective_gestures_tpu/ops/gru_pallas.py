@@ -27,8 +27,6 @@ Kernel layout contract (prepared by `run_layer` from the scan layout):
                           inside the cell);
   w_cat (D, P, 3P)        recurrent weights, gates concatenated on the
                           output axis (so hp slices land on lane tiles);
-  w_catT (D, 3P, P)       the same weights transposed per gate, for the
-                          backward kernel's dh_prev contraction;
   b_hn  (D, 1, P)         the n-gate hidden bias;
   out   (T, D, B, P)      per-step hidden states (= layer outputs).
 
@@ -50,10 +48,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 B_TILE = 128
 LANE = 128
-# time steps processed per grid iteration: amortizes the fixed per-grid-step
-# cost (pipeline bookkeeping dominates the ~1 us of MXU work per step).
-# Bound at trace time; tuned on the v5e via tools/bench_gru_engine.py.
-TIME_BLOCK = int(os.environ.get("S2AG_GRU_TT", "2"))
+# time steps processed per grid iteration. Measured on the v5e: NO
+# throughput difference vs 1 (the step is not per-grid-step-overhead
+# bound), so the default stays 1 for minimal VMEM pressure; kept as a
+# tuning knob for other chips (S2AG_GRU_TT).
+TIME_BLOCK = int(os.environ.get("S2AG_GRU_TT", "1"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -87,8 +86,14 @@ def _fwd_kernel(TT, xp_ref, wcat_ref, bhn_ref, out_ref, h_ref):
 
 
 def _tiles(B: int):
-    nb = B // B_TILE if B % B_TILE == 0 and B >= B_TILE else 1
-    return nb, B // nb
+    # batch tile: 128 rows, halved for B >= 256 — the backward kernel's
+    # working set (xp/ys/dys/dxp blocks + weights + grad accumulators) at
+    # bt=128 exceeds scoped VMEM once pipeline double-buffering across two
+    # batch blocks kicks in
+    if B % B_TILE == 0 and B >= B_TILE:
+        bt = 64 if B >= 256 else B_TILE
+        return B // bt, bt
+    return 1, B
 
 
 def _fwd_call(xp, w_cat, b_hn, interpret=False):
@@ -114,7 +119,7 @@ def _fwd_call(xp, w_cat, b_hn, interpret=False):
 # backward (reverse time loop; gates recomputed from saved outputs)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(TT, n_tblocks, xp_ref, wcat_ref, wcatT_ref, bhn_ref, ys_ref,
+def _bwd_kernel(TT, n_tblocks, xp_ref, wcat_ref, bhn_ref, ys_ref,
                 ys_prev_ref, dys_ref, dxp_ref, dwcat_ref, dbhn_ref, dh_ref):
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -141,7 +146,7 @@ def _bwd_kernel(TT, n_tblocks, xp_ref, wcat_ref, wcatT_ref, bhn_ref, ys_ref,
                 h_prev = ys_ref[tt - 1, d]
             else:
                 # previous block's last step; masked to 0 at global step 0
-                h_prev = jnp.where(rb == 0, 0.0, ys_prev_ref[TT - 1, d])
+                h_prev = jnp.where(rb == 0, 0.0, ys_prev_ref[0, d])
             hp = jnp.dot(h_prev, wcat_ref[d],
                          preferred_element_type=jnp.float32)
             hp_n = hp[:, 2 * P:] + bhn_ref[d]
@@ -163,9 +168,12 @@ def _bwd_kernel(TT, n_tblocks, xp_ref, wcat_ref, wcatT_ref, bhn_ref, ys_ref,
             dxp_ref[tt, 2, d] = dpre_n
 
             dhp_cat = jnp.concatenate([dpre_r, dpre_z, dhp_n], axis=1)
-            # dh_prev = dh*z + dhp_cat @ W^T (one contraction)
-            dh_carry = dh * z + jnp.dot(dhp_cat, wcatT_ref[d],
-                                        preferred_element_type=jnp.float32)
+            # dh_prev = dh*z + dhp_cat @ W^T — contracted on W's OUTPUT dim
+            # directly, so no transposed weight copy ever enters VMEM
+            dh_carry = dh * z + jax.lax.dot_general(
+                dhp_cat, wcat_ref[d], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
             dw_acc += jax.lax.dot_general(
                 h_prev, dhp_cat, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -177,7 +185,7 @@ def _bwd_kernel(TT, n_tblocks, xp_ref, wcat_ref, wcatT_ref, bhn_ref, ys_ref,
         dbhn_ref[d] += dbn_acc
 
 
-def _bwd_call(xp, w_cat, w_catT, b_hn, ys, dys, interpret=False):
+def _bwd_call(xp, w_cat, b_hn, ys, dys, interpret=False):
     T, _, D, B, P = xp.shape
     nb, bt = _tiles(B)
     TT = TIME_BLOCK if T % TIME_BLOCK == 0 else 1
@@ -190,14 +198,16 @@ def _bwd_call(xp, w_cat, w_catT, b_hn, ys, dys, interpret=False):
             pl.BlockSpec((TT, 3, D, bt, P),
                          lambda b, t: (n_tb - 1 - t, 0, 0, b, 0)),
             pl.BlockSpec((D, P, 3 * P), lambda b, t: (0, 0, 0)),
-            pl.BlockSpec((D, 3 * P, P), lambda b, t: (0, 0, 0)),
             pl.BlockSpec((D, 1, P), lambda b, t: (0, 0, 0)),
             pl.BlockSpec((TT, D, bt, P), lambda b, t: (n_tb - 1 - t, 0, b, 0)),
-            # the PREVIOUS time block (its last step is h_prev for tt=0;
-            # clamped at the bottom, masked to 0 inside the kernel)
+            # ONLY the last step of the previous time block (h_prev for
+            # tt=0): a single-slice block keeps VMEM pressure down (a
+            # TT-sized block OOMed scoped vmem at bs256); clamped at the
+            # bottom, masked to 0 inside the kernel
             pl.BlockSpec(
-                (TT, D, bt, P),
-                lambda b, t: (jnp.maximum(n_tb - 2 - t, 0), 0, b, 0),
+                (1, D, bt, P),
+                lambda b, t: (jnp.maximum((n_tb - 1 - t) * TT - 1, 0),
+                              0, b, 0),
             ),
             pl.BlockSpec((TT, D, bt, P), lambda b, t: (n_tb - 1 - t, 0, b, 0)),
         ],
@@ -214,7 +224,7 @@ def _bwd_call(xp, w_cat, w_catT, b_hn, ys, dys, interpret=False):
         ],
         scratch_shapes=[pltpu.VMEM((D, bt, P), jnp.float32)],
         interpret=interpret,
-    )(xp, w_cat, w_catT, b_hn, ys, ys, dys)
+    )(xp, w_cat, b_hn, ys, ys, dys)
     return dxp, dwcat, dbhn
 
 
@@ -222,27 +232,21 @@ def _bwd_call(xp, w_cat, w_catT, b_hn, ys, dys, interpret=False):
 # custom-VJP wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _gru_layer(xp, w_cat, w_catT, b_hn, interpret=False):
-    """ys = fused GRU layer over time (padded layouts, see module doc).
-    w_catT is only consumed by the backward kernel; the primal ignores it."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gru_layer(xp, w_cat, b_hn, interpret=False):
+    """ys = fused GRU layer over time (padded layouts, see module doc)."""
     return _fwd_call(xp, w_cat, b_hn, interpret)
 
 
-def _vjp_fwd(xp, w_cat, w_catT, b_hn, interpret=False):
+def _vjp_fwd(xp, w_cat, b_hn, interpret=False):
     ys = _fwd_call(xp, w_cat, b_hn, interpret)
-    return ys, (xp, w_cat, w_catT, b_hn, ys)
+    return ys, (xp, w_cat, b_hn, ys)
 
 
 def _vjp_bwd(interpret, res, dys):
-    xp, w_cat, w_catT, b_hn, ys = res
-    dxp, dwcat, dbhn = _bwd_call(xp, w_cat, w_catT, b_hn, ys, dys, interpret)
-    # the primal output depends only on w_cat (the forward never reads
-    # w_catT — it exists solely so the backward kernel has a pre-transposed
-    # copy), so d/dw_catT is exactly zero; the full BPTT weight gradient is
-    # attributed to w_cat, and jax sums the two paths where run_layer
-    # derives both from the same w_hh
-    return dxp, dwcat, jnp.zeros_like(w_catT), dbhn
+    xp, w_cat, b_hn, ys = res
+    dxp, dwcat, dbhn = _bwd_call(xp, w_cat, b_hn, ys, dys, interpret)
+    return dxp, dwcat, dbhn
 
 
 _gru_layer.defvjp(_vjp_fwd, _vjp_bwd)
@@ -287,13 +291,11 @@ def run_layer(xp_scan, w_hh_scan, b_hh_scan, interpret=False):
     gates = [padW(w_hh_scan[..., :H]), padW(w_hh_scan[..., H:2 * H]),
              padW(w_hh_scan[..., 2 * H:])]
     w_cat = jnp.concatenate(gates, axis=2)               # (D, P, 3P)
-    w_catT = jnp.concatenate([jnp.swapaxes(g, 1, 2) for g in gates],
-                             axis=1)                     # (D, 3P, P)
 
     # pad B to a friendly tile (8-multiple; 128-multiple for large batches)
     B_pad = _round_up(B, B_TILE if B >= B_TILE else 8)
     if B_pad != B:
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, B_pad - B), (0, 0)))
-    ys = _gru_layer(xp, w_cat, w_catT, b_hn, interpret)
+    ys = _gru_layer(xp, w_cat, b_hn, interpret)
     ys = ys[:, :, :B, :H]
     return ys, ys[-1]
