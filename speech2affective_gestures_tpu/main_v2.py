@@ -107,7 +107,9 @@ def load_datasets(args, cfg: ModelConfig):
         cut1, cut2 = int(n * 0.7), int(n * 0.85)
         idx = np.arange(n)
 
-        def subset(sel):
+        def subset(sel, sidecars=False):
+            # sidecars (full-window words/poses/audio) power clip stitching
+            # for the long-clip synthesis path — kept on the test split only
             return ted_db.PackedDataset(
                 extended_word_seq=full.extended_word_seq[sel],
                 vec_seq=full.vec_seq[sel],
@@ -117,9 +119,21 @@ def load_datasets(args, cfg: ModelConfig):
                 vid_indices=full.vid_indices[sel],
                 speaker_model=full.speaker_model,
                 lang_model=full.lang_model,
+                word_seqs=([full.word_seqs[i] for i in sel]
+                           if sidecars and full.word_seqs is not None else None),
+                aux_info=([full.aux_info[i] for i in sel]
+                          if sidecars and full.aux_info is not None else None),
+                pose_seqs=(full.pose_seqs[sel]
+                           if sidecars and full.pose_seqs is not None else None),
+                raw_audio=(full.raw_audio[sel]
+                           if sidecars and full.raw_audio is not None else None),
+                raw_audio_max=(full.raw_audio_max[sel]
+                               if sidecars and full.raw_audio_max is not None
+                               else None),
             )
 
-        return subset(idx[:cut1]), subset(idx[cut1:cut2]), subset(idx[cut2:])
+        return (subset(idx[:cut1]), subset(idx[cut1:cut2]),
+                subset(idx[cut2:], sidecars=True))
     if args.packed_data:
         splits = ted_db.load_exported_data(
             args.packed_data, cfg, load_train_val=args.train_s2ag

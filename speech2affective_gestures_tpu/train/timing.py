@@ -73,11 +73,15 @@ def marginal_step_time(
 
 
 def measure_peak_flops(
-    size: int = 4096, dtype=jnp.bfloat16, windows: tuple[int, int] = (20, 60),
-    reps: int = 5,
+    size: int = 4096, dtype=jnp.bfloat16,
+    windows: tuple[int, int] = (200, 600), reps: int = 5,
 ) -> float:
     """On-device dense-matmul FLOP/s, measured with the same honest slope
-    estimator — the empirical ceiling to validate MFU against."""
+    estimator — the empirical ceiling to validate MFU against.
+
+    The windows are large because one matmul is sub-millisecond: the slope
+    signal (400 x ~0.8 ms) must dominate the tunnel's ~30 ms RTT jitter,
+    or the estimate can even go negative."""
 
     @jax.jit
     def mm(x):
