@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "split in HBM with on-device gathers; 'grain' uses "
                         "the multiprocess checkpointable grain loader "
                         "(mid-epoch resume)")
+    p.add_argument("--mixed-precision", type=str2bool, default=False,
+                   help="bf16 training step (f32 master weights, f32 BN "
+                        "stats, f32 eval) — the standard TPU recipe; "
+                        "default off for bit-level reference parity")
     p.add_argument("--trimodal-metric-interval", type=int, default=1,
                    help="compute the frozen-trimodal comparison metric "
                         "every K-th train step (1 = every step = reference "
@@ -179,6 +183,7 @@ def main(argv=None, variant: str = "s2ag"):
         lr_decay=args.lr_s2ag_decay if args.apply_lr_decay else 1.0,
         loader=args.loader,
         trimodal_metric_interval=args.trimodal_metric_interval,
+        mixed_precision=args.mixed_precision,
     )
     trainer.logger.save_arg(vars(args))
     if not args.apply_lr_decay:

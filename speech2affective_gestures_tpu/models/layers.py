@@ -163,14 +163,18 @@ class BatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((self.features,))
         )
 
+        # statistics ALWAYS in f32 (torch AMP keeps BN stats f32 too):
+        # under bf16 activations, batch means/vars and the running-average
+        # update would otherwise round at 8 mantissa bits. No-op for f32.
+        xs = x.astype(jnp.float32)
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             reduce_axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x, axis=reduce_axes)
+            mean = jnp.mean(xs, axis=reduce_axes)
             # two-pass variance (torch's formula): E[x^2]-E[x]^2 cancels
             # catastrophically for large-mean activations in f32
-            var = jnp.mean(jnp.square(x - mean), axis=reduce_axes)
+            var = jnp.mean(jnp.square(xs - mean), axis=reduce_axes)
             n = x.size // x.shape[-1]
             unbiased = var * (n / max(n - 1, 1))
             if not self.is_initializing():
@@ -181,7 +185,8 @@ class BatchNorm(nn.Module):
                     (1.0 - self.momentum) * ra_var.value + self.momentum * unbiased
                 )
         inv = jax.lax.rsqrt(var + self.eps)
-        return (x - mean) * inv * scale + bias
+        return ((xs - mean) * inv * scale.astype(jnp.float32)
+                + bias.astype(jnp.float32)).astype(x.dtype)
 
 
 # --------------------------------------------------------------------------

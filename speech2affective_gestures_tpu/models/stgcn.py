@@ -46,7 +46,9 @@ class ConvTemporalGraphical(nn.Module):
         )(x)
         b, t, v, _ = y.shape
         y = y.reshape(b, t, v, self.a_channels, self.out_channels)
-        return jnp.einsum("btvkc,kvw->btwc", y, adjacency)
+        # follow the activation dtype (the adjacency is a host-built f32
+        # constant; without the cast it silently promotes bf16 runs to f32)
+        return jnp.einsum("btvkc,kvw->btwc", y, adjacency.astype(y.dtype))
 
 
 class ConvTransposeTemporalGraphical(nn.Module):
@@ -69,7 +71,9 @@ class ConvTransposeTemporalGraphical(nn.Module):
         )(x)
         b, t, v, _ = y.shape
         y = y.reshape(b, t, v, self.a_channels, self.out_channels)
-        return jnp.einsum("btvkc,kvw->btwc", y, adjacency)
+        # follow the activation dtype (the adjacency is a host-built f32
+        # constant; without the cast it silently promotes bf16 runs to f32)
+        return jnp.einsum("btvkc,kvw->btwc", y, adjacency.astype(y.dtype))
 
 
 class STGraphConv(nn.Module):

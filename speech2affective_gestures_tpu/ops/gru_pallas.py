@@ -80,7 +80,8 @@ def _fwd_kernel(TT, xp_ref, wcat_ref, bhn_ref, out_ref, h_ref):
             r = jax.nn.sigmoid(xp_ref[tt, 0, d] + hp[:, :P])
             z = jax.nn.sigmoid(xp_ref[tt, 1, d] + hp[:, P:2 * P])
             n = jnp.tanh(xp_ref[tt, 2, d] + r * hp_n)
-            h = (1.0 - z) * n + z * h
+            # gates/dots accumulate in f32; storage follows the input dtype
+            h = ((1.0 - z) * n + z * h).astype(out_ref.dtype)
             out_ref[tt, d] = h
         h_ref[d] = h
 
@@ -109,8 +110,8 @@ def _fwd_call(xp, w_cat, b_hn, interpret=False):
             pl.BlockSpec((D, 1, P), lambda b, t: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((TT, D, bt, P), lambda b, t: (t, 0, b, 0)),
-        out_shape=jax.ShapeDtypeStruct((T, D, B, P), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((D, bt, P), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((T, D, B, P), xp.dtype),
+        scratch_shapes=[pltpu.VMEM((D, bt, P), xp.dtype)],
         interpret=interpret,
     )(xp, w_cat, b_hn)
 
@@ -163,9 +164,9 @@ def _bwd_kernel(TT, n_tblocks, xp_ref, wcat_ref, bhn_ref, ys_ref,
             dpre_z = dz * z * (1.0 - z)
             dpre_r = dr * r * (1.0 - r)
 
-            dxp_ref[tt, 0, d] = dpre_r
-            dxp_ref[tt, 1, d] = dpre_z
-            dxp_ref[tt, 2, d] = dpre_n
+            dxp_ref[tt, 0, d] = dpre_r.astype(dxp_ref.dtype)
+            dxp_ref[tt, 1, d] = dpre_z.astype(dxp_ref.dtype)
+            dxp_ref[tt, 2, d] = dpre_n.astype(dxp_ref.dtype)
 
             dhp_cat = jnp.concatenate([dpre_r, dpre_z, dhp_n], axis=1)
             # dh_prev = dh*z + dhp_cat @ W^T — contracted on W's OUTPUT dim
@@ -218,7 +219,9 @@ def _bwd_call(xp, w_cat, b_hn, ys, dys, interpret=False):
             pl.BlockSpec((D, 1, P), lambda b, t: (0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, 3, D, B, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, 3, D, B, P), xp.dtype),
+            # weight/bias grads always accumulate in f32 (mixed-precision
+            # master-grad convention); cast to the param dtype in _vjp_bwd
             jax.ShapeDtypeStruct((D, P, 3 * P), jnp.float32),
             jax.ShapeDtypeStruct((D, 1, P), jnp.float32),
         ],
@@ -245,8 +248,9 @@ def _vjp_fwd(xp, w_cat, b_hn, interpret=False):
 
 def _vjp_bwd(interpret, res, dys):
     xp, w_cat, b_hn, ys = res
-    dxp, dwcat, dbhn = _bwd_call(xp, w_cat, b_hn, ys, dys, interpret)
-    return dxp, dwcat, dbhn
+    dxp, dwcat, dbhn = _bwd_call(xp, w_cat, b_hn, ys,
+                                 dys.astype(ys.dtype), interpret)
+    return dxp, dwcat.astype(w_cat.dtype), dbhn.astype(b_hn.dtype)
 
 
 _gru_layer.defvjp(_vjp_fwd, _vjp_bwd)

@@ -84,6 +84,35 @@ def synthetic_batch(rng: np.random.Generator, batch_size: int,
     }
 
 
+def mixed_precision_apply(apply_fn):
+    """Wrap a flax apply fn for bf16 mixed-precision training.
+
+    Master parameters stay f32 in the TrainState; per call, params and
+    floating-point array inputs are cast to bf16 and every floating output
+    is cast back to f32 (so losses, metrics and — via the differentiable
+    casts — gradients are f32). BatchNorm running statistics are NOT cast:
+    layers.BatchNorm computes its statistics in f32 regardless of the
+    activation dtype (torch-AMP convention), so the running averages keep
+    full precision across steps.
+    """
+    bf16, f32 = jnp.bfloat16, jnp.float32
+
+    def cast_in(x):
+        return x.astype(bf16) if getattr(x, "dtype", None) == f32 else x
+
+    def cast_out(x):
+        return x.astype(f32) if getattr(x, "dtype", None) == bf16 else x
+
+    def wrapped(variables, *args, **kwargs):
+        variables = dict(variables)
+        variables["params"] = jax.tree.map(cast_in, variables["params"])
+        args = tuple(jax.tree.map(cast_in, a) for a in args)
+        out = apply_fn(variables, *args, **kwargs)
+        return jax.tree.map(cast_out, out)
+
+    return wrapped
+
+
 def init_training(
     cfg: ModelConfig,
     rng: jax.Array,
@@ -95,8 +124,13 @@ def init_training(
     gradient_clip: float = 0.0,
     lr_decay: float = 1.0,
     decay_steps_per_epoch: int = 0,
+    mixed_precision: bool = False,
 ):
-    """Build modules, init variables, create TrainState + step fns."""
+    """Build modules, init variables, create TrainState + step fns.
+
+    mixed_precision=True runs every network forward in bf16 (f32 master
+    weights, f32 BN statistics, f32 losses/optimizer) — the standard TPU
+    training recipe; default off for bit-level reference parity."""
     gen, dis, tri = build_models(cfg, n_words, n_speakers, word_embeddings,
                                  variant=variant)
     batch = synthetic_batch(np.random.default_rng(0), 2, cfg, n_words, n_speakers)
@@ -135,9 +169,19 @@ def init_training(
         decay_steps_per_epoch=decay_steps_per_epoch,
     )
     state = create_train_state(gen_vars, dis_vars, gan_cfg, tri_vars)
+    tri_apply = tri.apply if with_trimodal else None
     train_step, eval_step = make_train_step(
-        gen.apply, dis.apply, gan_cfg, tri.apply if with_trimodal else None
+        gen.apply, dis.apply, gan_cfg, tri_apply
     )
+    if mixed_precision:
+        # bf16 training step; evaluation stays f32 (converted-checkpoint
+        # numbers must not carry activation-precision drift)
+        train_step, _ = make_train_step(
+            mixed_precision_apply(gen.apply),
+            mixed_precision_apply(dis.apply),
+            gan_cfg,
+            mixed_precision_apply(tri_apply) if tri_apply else None,
+        )
     return dict(
         gen=gen, dis=dis, tri=tri, state=state, gan_cfg=gan_cfg,
         train_step=train_step, eval_step=eval_step,

@@ -83,19 +83,29 @@ def measure_peak_flops(
     signal (400 x ~0.8 ms) must dominate the tunnel's ~30 ms RTT jitter,
     or the estimate can even go negative."""
 
-    @jax.jit
-    def mm(x):
-        return x @ x
+    # bounded-value dependent chain: feeding y=x@x back into itself
+    # overflows bf16 to inf within two iterations (ones @ ones = n), and
+    # inf-saturated chains have produced nonsense slopes on this platform —
+    # instead each iteration multiplies the SAME bounded x, chained through
+    # a tiny scalar to keep iterations sequential
+    x = jnp.full((size, size), 1.0 / size, dtype)
 
-    x = jnp.ones((size, size), dtype)
-    fetch_scalar(mm(x))  # compile + warm the fetch path
+    @jax.jit
+    def mm(c):
+        y = (x + c) @ x
+        # consume EVERY output element: slicing here lets XLA narrow the
+        # contraction to the consumed rows (observed: a y[0,:1] probe
+        # "measured" 5x the chip's peak)
+        return jnp.sum(y) * 1e-12
+
+    fetch_scalar(mm(jnp.zeros((), dtype)))  # compile + warm the fetch path
 
     def run_window(n):
+        c = jnp.zeros((), dtype)
         t0 = time.perf_counter()
-        y = x
         for _ in range(n):
-            y = mm(y)  # dependent chain: no overlap between iterations
-        fetch_scalar(y)
+            c = mm(c)
+        fetch_scalar(c)
         return time.perf_counter() - t0
 
     res = marginal_step_time(run_window, windows, reps)

@@ -90,6 +90,7 @@ class Trainer:
         lr_decay: float = 1.0,
         loader: str = "device",
         trimodal_metric_interval: int = 1,
+        mixed_precision: bool = False,
     ):
         self.cfg = cfg
         self.work_dir = work_dir
@@ -135,6 +136,7 @@ class Trainer:
             variant=variant,
             gradient_clip=gradient_clip, lr_decay=lr_decay,
             decay_steps_per_epoch=steps_per_epoch if lr_decay != 1.0 else 0,
+            mixed_precision=mixed_precision,
         )
         self.variant = variant
         self.gen, self.dis, self.tri = setup["gen"], setup["dis"], setup["tri"]

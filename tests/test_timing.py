@@ -140,3 +140,77 @@ def test_train_step_donation_safe_chaining():
         steps.append(int(state.step))
     assert steps == [1, 2, 3]
     assert np.isfinite(float(metrics["g_total"]))
+
+
+@pytest.mark.slow  # compiles two full train steps
+def test_mixed_precision_train_step():
+    """bf16 mixed precision: f32 master params/opt state throughout, finite
+    losses tracking the f32 step closely at init, f32 eval unchanged."""
+    from speech2affective_gestures_tpu.config import ModelConfig
+    from speech2affective_gestures_tpu.train import builder
+
+    cfg = ModelConfig(n_layers=1, hidden_size=32, hidden_size_s2eg=32)
+    batch = jax.device_put(builder.synthetic_batch(
+        np.random.default_rng(0), 4, cfg, 20, 4))
+
+    outs = {}
+    for mp in (False, True):
+        setup = builder.init_training(
+            cfg, jax.random.key(0), n_words=20, n_speakers=4,
+            with_trimodal=False, mixed_precision=mp,
+        )
+        state, metrics = setup["train_step"](
+            setup["state"], batch, jax.random.key(1), gan_on=True
+        )
+        # master params and optimizer state stay f32
+        for leaf in jax.tree.leaves(state.gen_params) + jax.tree.leaves(
+                state.gen_opt):
+            assert leaf.dtype in (jnp.float32, jnp.int32), leaf.dtype
+        outs[mp] = {k: float(v) for k, v in metrics.items()}
+        # eval stays full precision and runs
+        out, em = setup["eval_step"](state, batch, jax.random.key(2),
+                                     gan_on=True)
+        assert out.dtype == jnp.float32
+        assert np.isfinite(float(em["loss"]))
+
+    for k, v32 in outs[False].items():
+        v16 = outs[True][k]
+        assert np.isfinite(v16), k
+        if k == "DIV_REG":
+            # a ratio of two near-zero quantities at random init
+            # (-pose_l1/z_l1): denominator rounding under bf16 swings it
+            # arbitrarily — only finiteness/sign are meaningful here
+            assert v16 <= 0.0
+            continue
+        # one step from identical init: bf16 losses in the same regime as
+        # f32 (the Huber term carries a 500x weight, so bf16's ~0.4%
+        # activation rounding legitimately moves the total by ~10%;
+        # a broken cast shows up as orders of magnitude, not percent)
+        assert abs(v16 - v32) <= 0.15 * max(1.0, abs(v32)), (k, v16, v32)
+
+
+@pytest.mark.slow  # compiles the mixed-precision train step
+def test_mixed_precision_training_converges():
+    """Several pure-regression steps under bf16 reduce the Huber term —
+    the mixed-precision step trains, not just runs."""
+    from speech2affective_gestures_tpu.config import ModelConfig
+    from speech2affective_gestures_tpu.train import builder
+
+    cfg = ModelConfig(n_layers=2, hidden_size=64, hidden_size_s2eg=64)
+    setup = builder.init_training(
+        cfg, jax.random.key(0), n_words=30, n_speakers=5,
+        with_trimodal=False, mixed_precision=True,
+    )
+    state = setup["state"]
+    batch = jax.device_put(builder.synthetic_batch(
+        np.random.default_rng(1), 16, cfg, 30, 5))
+    first = last = None
+    for i in range(8):
+        state, metrics = setup["train_step"](
+            state, batch, jax.random.key(10 + i), gan_on=False
+        )
+        last = float(metrics["loss"])
+        if first is None:
+            first = last
+    assert np.isfinite(last)
+    assert last < first, (first, last)
