@@ -595,8 +595,18 @@ def load_exported_data(exported_dir: str, cfg: ModelConfig,
     # are invalidated and rebuilt.
     all_splits = sorted(manifest["splits"])
     lang_model = None
+    # the cache key must cover the EMBEDDING config too: build_vocab's
+    # pickle cache returns whatever was stored, so a file keyed only on
+    # num_mfcc would silently serve stale word vectors after the user
+    # changes wordembed_dim / wordembed_path
+    import hashlib
+
+    embed_tag = hashlib.sha1(
+        f"{cfg.wordembed_dim}|{cfg.wordembed_path or ''}".encode()
+    ).hexdigest()[:8]
     shared_vocab_cache = os.path.join(
-        out_dir, f"s2ag_tpu_shared_vocab_mfcc_{cfg.num_mfcc}.pkl"
+        out_dir,
+        f"s2ag_tpu_shared_vocab_mfcc_{cfg.num_mfcc}_e{embed_tag}.pkl",
     )
 
     def get_lang_model():

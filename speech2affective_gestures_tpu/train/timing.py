@@ -33,14 +33,18 @@ import numpy as np
 
 
 def fetch_scalar(x) -> float:
-    """Copy one element of (the first leaf of) `x` to the host.
+    """Copy ONE element of (the first leaf of) `x` to the host.
 
     Unlike `jax.block_until_ready`, the returned float PROVES the producing
-    computation ran to completion — use it as the timing barrier.
-    """
+    computation ran to completion — use it as the timing barrier. The
+    element is indexed on-device first so only a scalar crosses the wire
+    (device_get of a whole first leaf — e.g. an embedding table inside a
+    TrainState — would ship megabytes through the ~30 ms-RTT tunnel at
+    every barrier)."""
     leaf = jax.tree_util.tree_leaves(x)[0]
-    arr = np.asarray(jax.device_get(leaf)).ravel()
-    return float(arr[0])
+    if getattr(leaf, "ndim", 0):
+        leaf = leaf[(0,) * leaf.ndim]
+    return float(np.asarray(jax.device_get(leaf)))
 
 
 def marginal_step_time(

@@ -235,26 +235,35 @@ class Trainer:
         total, n = 0.0, 0
         start = time.time()
         tri_every = self.trimodal_metric_interval
+        total_l1, n_l1 = 0.0, 0
         for i, batch in self._epoch_batches(max_iters):
             self.state, metrics = self.train_step(
                 self.state, self._put(batch), self._next_rng(), gan_on=gan_on,
                 tri_metric=(tri_every == 1 or i % tri_every == 0),
             )
-            loss = float(metrics.get("s2ag_vs_trimodal_l1", metrics["s2ag_l1"]))
-            if self.check_finite and not np.isfinite(loss):
+            if self.check_finite and not np.isfinite(float(metrics["s2ag_l1"])):
                 bad = {k: float(v) for k, v in metrics.items()}
                 raise FloatingPointError(
                     f"non-finite training loss at epoch {self.epoch} iter {i}: {bad}"
                 )
-            total, n = total + loss, n + 1
+            # the epoch mean must be ONE metric: with an interval-gated
+            # trimodal comparison only the steps that computed it contribute
+            # (blending the differential with absolute s2ag_l1 on gated
+            # steps would make the mean depend on the interval); the s2ag_l1
+            # mean is the fallback when no comparator exists at all
+            if "s2ag_vs_trimodal_l1" in metrics:
+                total, n = total + float(metrics["s2ag_vs_trimodal_l1"]), n + 1
+            total_l1, n_l1 = total_l1 + float(metrics["s2ag_l1"]), n_l1 + 1
             if i % log_interval == 0:
                 line = " | ".join(
                     f"{k}: {float(v):.4f}" for k, v in metrics.items()
                 )
                 self.logger.print_log(f"\tIter {i} Done. | {line}")
+        if n == 0:  # no trimodal comparator anywhere this epoch
+            total, n = total_l1, n_l1
         self.logger.print_log(
             f"epoch {self.epoch} train: mean_s2ag_loss {total / max(n,1):.4f} "
-            f"({time.time() - start:.1f}s, {n} iters)"
+            f"({time.time() - start:.1f}s, {n_l1} iters)"
         )
         return total / max(n, 1)
 

@@ -145,3 +145,40 @@ def test_time_block_fallback_when_not_divisible(monkeypatch, rng):
     got_ys, _ = gru_pallas.run_layer(xp, w, b, interpret=True)
     np.testing.assert_allclose(np.asarray(got_ys), np.asarray(want_ys),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_multi_batch_block_gradients(rng):
+    """B=256 triggers the nb>1 grid (bt=64): the cross-block dwcat/dbhn
+    accumulation and per-block dh carry re-init must agree with the scan —
+    this is exactly the bench sweep's large-batch configuration, invisible
+    to the small-B tests above."""
+    Hs, Ts, Bs = 8, 4, 256
+    xp = jnp.asarray(
+        (rng.standard_normal((Ts, D, Bs, 3 * Hs)) * 0.3).astype(np.float32))
+    w = jnp.asarray(
+        (rng.standard_normal((D, Hs, 3 * Hs)) / 4).astype(np.float32))
+    b = jnp.asarray((rng.standard_normal((D, 3 * Hs)) * 0.1).astype(np.float32))
+    # the tiling really is multi-block for this shape
+    assert gru_pallas._tiles(Bs) == (4, 64)
+
+    want_ys, want_h = scan_reference(xp, w, b)
+    got_ys, got_h = gru_pallas.run_layer(xp, w, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_ys), np.asarray(want_ys),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(fn):
+        def inner(xp, w, b):
+            ys, _ = fn(xp, w, b)
+            return jnp.sum(jnp.sin(ys) * ys)
+        return inner
+
+    want = jax.grad(loss(scan_reference), argnums=(0, 1, 2))(xp, w, b)
+    got = jax.grad(
+        loss(lambda *a: gru_pallas.run_layer(*a, interpret=True)),
+        argnums=(0, 1, 2),
+    )(xp, w, b)
+    for name, g_got, g_want in zip(("dxp", "dw_hh", "db_hh"), got, want):
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
