@@ -91,3 +91,19 @@ def test_nan_guard_raises(splits, tmp_path):
     )
     with pytest.raises(FloatingPointError):
         tr.per_train_epoch(log_interval=10**9)
+
+
+def test_trimodal_interval_epoch_mean_is_single_metric(splits, tmp_path):
+    """With --trimodal-metric-interval K>1 the epoch mean must come ONLY
+    from the steps that computed the trimodal differential — never a blend
+    with absolute s2ag_l1 from the gated steps (which is ~20x larger and
+    would make the logged loss depend on K)."""
+    tr = Trainer(CFG, str(tmp_path / "w3"), train_data=splits,
+                 val_data=splits, seed=3, trimodal_metric_interval=3)
+    tr.epoch = 2  # past warmup
+    mean = tr.per_train_epoch(log_interval=10**9)
+    assert np.isfinite(mean)
+    # the differential |L1(ours) - L1(trimodal)| at random init is far
+    # smaller than absolute L1 (~0.1+); a blend with gated-step s2ag_l1
+    # values would push the mean into absolute-L1 territory
+    assert abs(mean) < 0.08, mean
