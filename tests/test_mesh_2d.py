@@ -114,3 +114,26 @@ def test_mesh_step_numerically_equals_single_device(mesh_2d):
         ),
         multi_state.gen_stats, single_state.gen_stats,
     )
+
+def test_mixed_precision_step_on_mesh(mesh_2d):
+    """Production mode is mixed precision + data parallelism together: the
+    bf16 step must run under the 8-device mesh with finite metrics and f32
+    master params intact."""
+    cfg = ModelConfig(hidden_size=32, hidden_size_s2eg=32, n_layers=2)
+    setup = builder.init_training(
+        cfg, jax.random.key(0), n_words=2048, n_speakers=10,
+        with_trimodal=False, mixed_precision=True,
+    )
+    host_state = jax.device_get(setup["state"])
+    state = pmesh.shard_params_2d(host_state, mesh_2d)
+    batch = pmesh.shard_batch(
+        builder.synthetic_batch(np.random.default_rng(2), 8, cfg, 2048, 10),
+        mesh_2d,
+    )
+    step = pmesh.data_parallel_step(setup["train_step"], mesh_2d)
+    new_state, metrics = step(state, batch, jax.random.key(4), gan_on=True)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    for leaf in jax.tree.leaves(new_state.gen_params):
+        assert leaf.dtype in (jnp.float32, jnp.int32), leaf.dtype
+    assert len(jax.tree.leaves(new_state.gen_params)[0].sharding.device_set) == 8
