@@ -75,6 +75,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bf16 training step (f32 master weights, f32 BN "
                         "stats, f32 eval) — the standard TPU recipe; "
                         "default off for bit-level reference parity")
+    p.add_argument("--divreg-draw", type=str, default="permutation",
+                   choices=("permutation", "fresh"),
+                   help="diversity-regularizer second-pass speaker draw: "
+                        "'permutation' = reference-exact torch.randperm over "
+                        "the in-batch ids (processor_v2.py:902-903, default); "
+                        "'fresh' = uniform draw excluding each sample's own "
+                        "id (never fix-points)")
     p.add_argument("--trimodal-metric-interval", type=int, default=1,
                    help="compute the frozen-trimodal comparison metric "
                         "every K-th train step (1 = every step = reference "
@@ -184,6 +191,7 @@ def main(argv=None, variant: str = "s2ag"):
         loader=args.loader,
         trimodal_metric_interval=args.trimodal_metric_interval,
         mixed_precision=args.mixed_precision,
+        divreg_draw=args.divreg_draw,
     )
     trainer.logger.save_arg(vars(args))
     if not args.apply_lr_decay:

@@ -42,11 +42,27 @@ def _gru_engine() -> str:
     """'pallas' = fused single-kernel time loop (ops/gru_pallas.py), the
     default on TPU where per-scan-iteration dispatch (~10 us) dominates the
     cell math; 'scan' = lax.scan, the default elsewhere and the reference
-    semantics both engines implement. Override with S2AG_GRU_ENGINE."""
+    semantics both engines implement. Override with S2AG_GRU_ENGINE.
+
+    NOTE: read at TRACE time — the choice is baked into each jitted program
+    at its first compile; changing the env var afterwards does not retrace.
+    A 'pallas' override off-TPU is rejected with a warning (the compiled
+    kernel only targets TPU; tests exercise it on CPU via interpret mode
+    explicitly, not through this switch)."""
     env = os.environ.get("S2AG_GRU_ENGINE", "")
+    backend = jax.default_backend()
+    if env == "pallas" and backend != "tpu":
+        import warnings
+
+        warnings.warn(
+            f"S2AG_GRU_ENGINE=pallas ignored on backend '{backend}' "
+            "(compiled kernel is TPU-only); falling back to 'scan'.",
+            stacklevel=2,
+        )
+        return "scan"
     if env in ("pallas", "scan"):
         return env
-    return "pallas" if jax.default_backend() == "tpu" else "scan"
+    return "pallas" if backend == "tpu" else "scan"
 
 
 # --------------------------------------------------------------------------

@@ -100,6 +100,10 @@ class SynthesisService:
                   / self.cfg.motion_resampling_framerate)
         words = [["<UNK>", 0.1, 0.4], ["<UNK>", 1.0, 1.4]]
         max_len = max(seconds, unit + 0.1)
+        if stride <= 0:  # n_pre_poses >= n_poses: single-window clips only
+            audio = np.zeros(int(unit * C.AUDIO_SR), np.float32)
+            self.synthesize(audio, words)
+            return
         bucket = 4
         while True:
             # a clip with exactly `bucket` windows (n = ceil((L-unit)/stride)

@@ -125,6 +125,7 @@ def init_training(
     lr_decay: float = 1.0,
     decay_steps_per_epoch: int = 0,
     mixed_precision: bool = False,
+    divreg_draw: str = "permutation",
 ):
     """Build modules, init variables, create TrainState + step fns.
 
@@ -167,20 +168,24 @@ def init_training(
         gradient_clip=gradient_clip,
         lr_decay=lr_decay,
         decay_steps_per_epoch=decay_steps_per_epoch,
+        divreg_draw=divreg_draw,
     )
     state = create_train_state(gen_vars, dis_vars, gan_cfg, tri_vars)
     tri_apply = tri.apply if with_trimodal else None
-    train_step, eval_step = make_train_step(
-        gen.apply, dis.apply, gan_cfg, tri_apply
-    )
     if mixed_precision:
-        # bf16 training step; evaluation stays f32 (converted-checkpoint
-        # numbers must not carry activation-precision drift)
+        # bf16 training step from wrapped applies; evaluation stays f32
+        # (converted-checkpoint numbers must not carry activation-precision
+        # drift), so eval_step is built from the raw applies
         train_step, _ = make_train_step(
             mixed_precision_apply(gen.apply),
             mixed_precision_apply(dis.apply),
             gan_cfg,
             mixed_precision_apply(tri_apply) if tri_apply else None,
+        )
+        _, eval_step = make_train_step(gen.apply, dis.apply, gan_cfg, tri_apply)
+    else:
+        train_step, eval_step = make_train_step(
+            gen.apply, dis.apply, gan_cfg, tri_apply
         )
     return dict(
         gen=gen, dis=dis, tri=tri, state=state, gan_cfg=gan_cfg,

@@ -51,13 +51,15 @@ class GanConfig:
     # np.setdiff1d draw, processor_v2.py:625-636). 0 falls back to an
     # in-batch permutation (only used when the vocab size is unknown).
     n_speakers: int = 0
-    # diversity-regularizer second-pass speaker ids: 'fresh' (default) draws
-    # uniformly over the vocab excluding each sample's own id — never
-    # degenerate; 'permutation' reproduces the reference's torch.randperm
-    # over the in-batch ids EXACTLY (processor_v2.py:902-903), fix-points and
-    # all. The default DIVERGES from the reference by design; recorded in
-    # README.md / docs/STATUS.md parity notes.
-    divreg_draw: str = "fresh"
+    # diversity-regularizer second-pass speaker ids: 'permutation' (default)
+    # reproduces the reference's torch.randperm over the in-batch ids EXACTLY
+    # (processor_v2.py:902-903), fix-points and all — reference parity, like
+    # every other default in this config (gradient_clip, lr_decay); 'fresh'
+    # is the documented opt-in improvement: a uniform draw over the vocab
+    # excluding each sample's own id, which can never fix-point (a sample
+    # drawing itself makes its div-reg term degenerate). Recorded in
+    # README.md parity notes.
+    divreg_draw: str = "permutation"
     # which batch field feeds the generator's audio input: 'mfcc_features'
     # for the paper model, 'audio' for the abl_audio WavEncoder ablation
     generator_input: str = "mfcc_features"

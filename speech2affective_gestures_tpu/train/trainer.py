@@ -91,6 +91,7 @@ class Trainer:
         loader: str = "device",
         trimodal_metric_interval: int = 1,
         mixed_precision: bool = False,
+        divreg_draw: str = "permutation",
     ):
         self.cfg = cfg
         self.work_dir = work_dir
@@ -137,6 +138,7 @@ class Trainer:
             gradient_clip=gradient_clip, lr_decay=lr_decay,
             decay_steps_per_epoch=steps_per_epoch if lr_decay != 1.0 else 0,
             mixed_precision=mixed_precision,
+            divreg_draw=divreg_draw,
         )
         self.variant = variant
         self.gen, self.dis, self.tri = setup["gen"], setup["dis"], setup["tri"]

@@ -1,8 +1,8 @@
 """Fused Pallas GRU layer vs the lax.scan reference — values AND gradients.
 
 Runs the kernel in interpret mode (tests force CPU); the compiled TPU path
-is exercised by bench/profiling runs and the training entry when
-S2AG_GRU_PALLAS is on.
+is exercised by bench/profiling runs and the training entry, where
+S2AG_GRU_ENGINE=pallas is the TPU default (models/layers._gru_engine).
 """
 
 import jax

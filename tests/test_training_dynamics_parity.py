@@ -165,7 +165,10 @@ def test_training_trajectory_matches_reference(rng, monkeypatch):
         n_speakers=N_SPK,
     )
     dis = AffDiscriminator(n_poses=cfg.n_poses, dropout_prob=0.0)
-    gan_cfg = gan_step.GanConfig(n_speakers=N_SPK)
+    # divreg_draw='fresh': with V=2 the exclude-own draw is deterministically
+    # the other id, so the torch side can be fed the exact same ids (the
+    # default 'permutation' draw is random and can't be mirrored per-sample)
+    gan_cfg = gan_step.GanConfig(n_speakers=N_SPK, divreg_draw="fresh")
     # .copy(): .numpy() views torch's buffers, and the torch optimizer
     # updates them in place — without the copy our "converted init" would
     # silently track the torch side's training

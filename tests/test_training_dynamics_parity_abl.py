@@ -218,7 +218,10 @@ def test_ablation_training_trajectory_matches_reference(
                             betas=(0.5, 0.999))
 
     gp, gs, dp, ds = _convert(tgen, tdis, variant)
-    gan_cfg = gan_step.GanConfig(n_speakers=N_SPK, generator_input=gen_in)
+    # divreg_draw='fresh': deterministic exclude-own draw at V=2 so the torch
+    # side sees identical ids (see test_training_dynamics_parity.py)
+    gan_cfg = gan_step.GanConfig(n_speakers=N_SPK, generator_input=gen_in,
+                                 divreg_draw="fresh")
     state = gan_step.create_train_state(
         {"params": gp, "batch_stats": gs},
         {"params": dp, "batch_stats": ds}, gan_cfg,
