@@ -103,8 +103,10 @@ def _read_tensors(buf: bytes, offset: int, count: int):
     """Read `count` tensor IPC messages from `offset`, each at the exact
     64-byte-aligned position the 0.14 writer produced (serialize.cc
     WriteTo: AlignStream(kTensorAlignment=64) before the block and after
-    every WriteTensor). No probing: a tensor that fails to parse at its
-    deterministic offset is a format error, raised loudly."""
+    every WriteTensor). A tensor that fails to parse at its deterministic
+    offset gets ONE fallback probe at the next 64-byte boundary (arrow
+    builds with slightly different padding conventions), with a warning;
+    anything else is a format error, raised loudly."""
     tensors = []
     reader = pa.BufferReader(buf)
     pos = offset
@@ -117,11 +119,24 @@ def _read_tensors(buf: bytes, offset: int, count: int):
         try:
             reader.seek(pos)
             t = pa.ipc.read_tensor(reader)
-        except pa.ArrowInvalid as e:
-            raise LegacyFormatError(
-                f"tensor component {k}/{count} failed to parse at its "
-                f"aligned offset {pos}: {e}"
-            ) from e
+        except (pa.ArrowInvalid, OSError) as e:
+            fallback = pos + _ALIGN_TENSOR
+            try:
+                reader.seek(fallback)
+                t = pa.ipc.read_tensor(reader)
+            except Exception:
+                raise LegacyFormatError(
+                    f"tensor component {k}/{count} failed to parse at its "
+                    f"aligned offset {pos} (and at the one-shot fallback "
+                    f"{fallback}): {e}"
+                ) from e
+            import warnings
+
+            warnings.warn(
+                f"legacy blob: tensor component {k} found at {fallback}, "
+                f"64 bytes past the predicted offset {pos} (non-0.14 "
+                "padding convention?)", stacklevel=3,
+            )
         pos = reader.tell()
         tensors.append(t.to_numpy())
     return tensors, pos
@@ -138,11 +153,16 @@ def _from_scalar(scalar, field_name: str, comps: dict) -> Any:
     if value is None or not scalar.is_valid:
         return None
     ty = value.type
-    if pa.types.is_int32(ty) and field_name in ("tensor", "ndarray"):
-        return comps["tensors"][value.as_py()] if field_name == "tensor" \
-            else comps["ndarrays"][value.as_py()]
-    if pa.types.is_int32(ty) and field_name == "buffer":
-        return comps["buffers"][value.as_py()]
+    if pa.types.is_int32(ty) and field_name in ("tensor", "ndarray", "buffer"):
+        pool = {"tensor": "tensors", "ndarray": "ndarrays",
+                "buffer": "buffers"}[field_name]
+        idx = value.as_py()
+        if idx >= len(comps[pool]):
+            raise LegacyFormatError(
+                f"{field_name} component index {idx} out of range "
+                f"({len(comps[pool])} {pool} in header)"
+            )
+        return comps[pool][idx]
     if pa.types.is_struct(ty):  # dict: field 0 = keys list, field 1 = vals
         keys = _from_list_scalar(value["keys"], comps)
         vals = _from_list_scalar(value["vals"], comps)
@@ -241,9 +261,20 @@ def deserialize(data: bytes) -> Any:
         # the buffer block always starts 64-aligned: the writer aligns
         # after the stream and after every tensor (serialize.cc WriteTo)
         pos = _align(pos, _ALIGN_TENSOR)
-        for _ in range(num_buffers):
-            (size,) = struct.unpack_from("<q", buf, pos)
+        for b_idx in range(num_buffers):
+            try:
+                (size,) = struct.unpack_from("<q", buf, pos)
+            except struct.error as e:
+                raise LegacyFormatError(
+                    f"buffer component {b_idx}/{num_buffers}: size field at "
+                    f"{pos} past end of blob"
+                ) from e
             pos += 8
+            if size < 0 or pos + size > len(buf):
+                raise LegacyFormatError(
+                    f"buffer component {b_idx}/{num_buffers}: size {size} at "
+                    f"{pos} exceeds blob length {len(buf)}"
+                )
             buffers.append(buf[pos:pos + size])
             pos += size
         comps = {"tensors": tensors, "ndarrays": ndarrays, "buffers": buffers}
