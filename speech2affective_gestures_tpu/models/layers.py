@@ -51,7 +51,8 @@ def _gru_engine() -> str:
     explicitly, not through this switch)."""
     env = os.environ.get("S2AG_GRU_ENGINE", "")
     backend = jax.default_backend()
-    if env == "pallas" and backend != "tpu":
+    if (env == "pallas" and backend != "tpu"
+            and os.environ.get("S2AG_GRU_PALLAS_INTERPRET", "") != "1"):
         import warnings
 
         warnings.warn(
@@ -435,7 +436,37 @@ class GRU(nn.Module):
             materialized layout copies on TPU (device trace, ~6/forward),
             so the stack transposes exactly once at entry and exit.
             """
-            cin = inputs_tm.shape[-1]
+            w_ih, w_hh, b_ih, b_hh = layer_params(inputs_tm.shape[-1], layer)
+
+            # hoisted input projections: one big (T*B, C) @ (C, 3H) per dir
+            xps = []
+            for d in range(num_dir):
+                xp = jnp.matmul(inputs_tm, w_ih[d]) + b_ih[d]  # (T, B, 3H)
+                xps.append(jnp.flip(xp, axis=0) if d else xp)
+            xp = jnp.stack(xps, axis=1)  # (T, D, B, 3H)
+
+            h0 = jnp.zeros((num_dir, inputs_tm.shape[1], hsz),
+                           inputs_tm.dtype)
+
+            def cell(h, xp_t):
+                hp = jnp.einsum("dbh,dhk->dbk", h, w_hh) + b_hh[:, None, :]
+                r = jax.nn.sigmoid(xp_t[..., :hsz] + hp[..., :hsz])
+                z = jax.nn.sigmoid(
+                    xp_t[..., hsz : 2 * hsz] + hp[..., hsz : 2 * hsz]
+                )
+                n = jnp.tanh(xp_t[..., 2 * hsz :] + r * hp[..., 2 * hsz :])
+                h_new = (1.0 - z) * n + z * h
+                return h_new, h_new
+
+            h_last, ys = jax.lax.scan(cell, h0, xp,
+                                      unroll=RNN_UNROLL)  # (T, D, B, H)
+            outs = [ys[:, 0]]
+            if num_dir == 2:
+                outs.append(jnp.flip(ys[:, 1], axis=0))
+            # (T, B, D*H) — still time-major
+            return jnp.concatenate(outs, axis=-1), h_last
+
+        def layer_params(cin, layer):
             tags = [f"l{layer}"] + ([f"l{layer}_rev"] if num_dir == 2 else [])
             w_ih = [self.param(f"w_ih_{t}", torch_uniform(bound), (cin, 3 * hsz))
                     for t in tags]
@@ -449,47 +480,55 @@ class GRU(nn.Module):
                 self.param(f"b_hh_{t}", torch_uniform(bound), (3 * hsz,))
                 for t in tags
             ])  # (D, 3H)
+            return w_ih, w_hh, b_ih, b_hh
 
-            # hoisted input projections: one big (T*B, C) @ (C, 3H) per dir
-            xps = []
-            for d in range(num_dir):
-                xp = jnp.matmul(inputs_tm, w_ih[d]) + b_ih[d]  # (T, B, 3H)
-                xps.append(jnp.flip(xp, axis=0) if d else xp)
-            xp = jnp.stack(xps, axis=1)  # (T, D, B, 3H)
+        def pallas_stack(inputs_tm):
+            """The whole stack through the fused v2 kernel: ONE matmul per
+            layer emits the kernel-ready (T, B, D, 3P) layout (gate columns
+            pre-padded inside the weights), biases fuse into the kernel's
+            gate math, the reverse direction is walked by the kernel's grid
+            index maps (no time flips anywhere), and intermediate layers
+            consume the padded (T, B, D, P) output directly (zero weight
+            rows on the pad lanes) — the exact (T, B, D*H) tensor is
+            materialized once at the stack exit, not per layer. Numerics
+            identical to the scan path (ops/gru_pallas.py v2 section)."""
+            from ..ops import gru_pallas
 
-            if _gru_engine() == "pallas":
-                from ..ops import gru_pallas
-
-                ys, h_last = gru_pallas.run_layer(xp, w_hh, b_hh)
-            else:
-                h0 = jnp.zeros((num_dir, inputs_tm.shape[1], hsz),
-                               inputs_tm.dtype)
-
-                def cell(h, xp_t):
-                    hp = jnp.einsum("dbh,dhk->dbk", h, w_hh) + b_hh[:, None, :]
-                    r = jax.nn.sigmoid(xp_t[..., :hsz] + hp[..., :hsz])
-                    z = jax.nn.sigmoid(
-                        xp_t[..., hsz : 2 * hsz] + hp[..., hsz : 2 * hsz]
+            P = gru_pallas._round_up(hsz, gru_pallas.LANE)
+            src = inputs_tm
+            fins = []
+            for layer in range(self.num_layers):
+                cin = inputs_tm.shape[-1] if layer == 0 else num_dir * hsz
+                w_ih, w_hh, b_ih, b_hh = layer_params(cin, layer)
+                w_stack = gru_pallas.stack_input_weights(
+                    w_ih, hsz, padded_input=layer > 0, num_dir_in=num_dir
+                )
+                xp = jnp.einsum("tbc,cdk->tbdk", src, w_stack)
+                ys, h_last = gru_pallas.run_layer_v2(
+                    xp, w_hh, jnp.stack(b_ih), b_hh
+                )  # (T, B, D*P), pad lanes zero
+                fins.extend(h_last[d] for d in range(num_dir))
+                if self.dropout > 0.0 and layer < self.num_layers - 1:
+                    ys = nn.Dropout(rate=self.dropout)(
+                        ys, deterministic=deterministic
                     )
-                    n = jnp.tanh(xp_t[..., 2 * hsz :] + r * hp[..., 2 * hsz :])
-                    h_new = (1.0 - z) * n + z * h
-                    return h_new, h_new
-
-                h_last, ys = jax.lax.scan(cell, h0, xp,
-                                          unroll=RNN_UNROLL)  # (T, D, B, H)
-            outs = [ys[:, 0]]
-            if num_dir == 2:
-                outs.append(jnp.flip(ys[:, 1], axis=0))
-            # (T, B, D*H) — still time-major
-            return jnp.concatenate(outs, axis=-1), h_last
+                src = ys
+            outs = [src[:, :, d * P:d * P + hsz] for d in range(num_dir)]
+            out = outs[0] if num_dir == 1 else jnp.concatenate(outs, axis=-1)
+            return out, fins
 
         out = jnp.swapaxes(x, 0, 1)  # ONE transpose in...
         finals = []
-        for layer in range(self.num_layers):
-            out, h_last = layer_pass(out, layer)
-            finals.extend(h_last[d] for d in range(num_dir))
-            if self.dropout > 0.0 and layer < self.num_layers - 1:
-                out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
+        if _gru_engine() == "pallas":
+            out, finals = pallas_stack(out)
+        else:
+            for layer in range(self.num_layers):
+                out, h_last = layer_pass(out, layer)
+                finals.extend(h_last[d] for d in range(num_dir))
+                if self.dropout > 0.0 and layer < self.num_layers - 1:
+                    out = nn.Dropout(rate=self.dropout)(
+                        out, deterministic=deterministic
+                    )
         if not self.time_major_out:
             out = jnp.swapaxes(out, 0, 1)  # ...and ONE transpose out
         return out, jnp.stack(finals, axis=0)
