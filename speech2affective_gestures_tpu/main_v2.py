@@ -75,6 +75,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bf16 training step (f32 master weights, f32 BN "
                         "stats, f32 eval) — the standard TPU recipe; "
                         "default off for bit-level reference parity")
+    p.add_argument("--fused-pass", type=str2bool, default=False,
+                   help="run the G-step main + div-reg generator forwards "
+                        "as ONE 2B-batch forward and the D-step real+fake "
+                        "discriminator forwards as ONE 2B-batch forward "
+                        "(same loss formulas; BN batch stats over the 2B "
+                        "concat and one 2B-shaped noise/dropout draw) — "
+                        "default off for reference parity")
     p.add_argument("--divreg-draw", type=str, default="permutation",
                    choices=("permutation", "fresh"),
                    help="diversity-regularizer second-pass speaker draw: "
@@ -192,6 +199,7 @@ def main(argv=None, variant: str = "s2ag"):
         trimodal_metric_interval=args.trimodal_metric_interval,
         mixed_precision=args.mixed_precision,
         divreg_draw=args.divreg_draw,
+        fused_pass=args.fused_pass,
     )
     trainer.logger.save_arg(vars(args))
     if not args.apply_lr_decay:

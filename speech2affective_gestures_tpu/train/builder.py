@@ -126,6 +126,7 @@ def init_training(
     decay_steps_per_epoch: int = 0,
     mixed_precision: bool = False,
     divreg_draw: str = "permutation",
+    fused_pass: bool = False,
 ):
     """Build modules, init variables, create TrainState + step fns.
 
@@ -169,6 +170,7 @@ def init_training(
         lr_decay=lr_decay,
         decay_steps_per_epoch=decay_steps_per_epoch,
         divreg_draw=divreg_draw,
+        fused_pass=fused_pass,
     )
     state = create_train_state(gen_vars, dis_vars, gan_cfg, tri_vars)
     tri_apply = tri.apply if with_trimodal else None

@@ -77,6 +77,18 @@ class GanConfig:
     # step; the offset is tiny (warmup defaults to 0) and documented here.
     lr_decay: float = 1.0
     decay_steps_per_epoch: int = 0
+    # fuse same-parameter forwards into single double-batch calls: the
+    # G-step main + diversity-regularizer generator forwards become ONE
+    # 2B-batch forward (they share every input except the speaker ids,
+    # processor_v2.py:899-906), and the D-step real+fake discriminator
+    # forwards become ONE 2B-batch forward. Opt-in (like mixed precision):
+    # BatchNorm train statistics are then computed over the 2B concat
+    # instead of two sequential B batches (one running-stat momentum update
+    # instead of two) and the per-sample noise/dropout draws come from one
+    # 2B-shaped draw, so trajectories diverge from the reference at the
+    # stochastic level while every loss term keeps its exact formula.
+    # Default off = reference parity.
+    fused_pass: bool = False
 
     @property
     def lr_dis(self) -> float:
@@ -245,10 +257,23 @@ def make_train_step(
             )
             fake = jax.lax.stop_gradient(fake)
 
-            def d_loss_fn(dp, dstats):
-                d_real, dstats = dis_fwd(dp, dstats, target, in_text, rngs[1])
-                d_fake, dstats = dis_fwd(dp, dstats, fake, in_text, rngs[2])
-                return losses.dis_ns_gan(d_real, d_fake), dstats
+            if cfg.fused_pass:
+                bsz = target.shape[0]
+                text2 = jnp.concatenate([in_text, in_text], axis=0)
+
+                def d_loss_fn(dp, dstats):
+                    d_both, dstats = dis_fwd(
+                        dp, dstats, jnp.concatenate([target, fake], axis=0),
+                        text2, rngs[1],
+                    )
+                    return losses.dis_ns_gan(d_both[:bsz], d_both[bsz:]), dstats
+            else:
+                def d_loss_fn(dp, dstats):
+                    d_real, dstats = dis_fwd(dp, dstats, target, in_text,
+                                             rngs[1])
+                    d_fake, dstats = dis_fwd(dp, dstats, fake, in_text,
+                                             rngs[2])
+                    return losses.dis_ns_gan(d_real, d_fake), dstats
 
             (d_loss, dis_stats), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True
@@ -258,22 +283,51 @@ def make_train_step(
             metrics["dis"] = d_loss
 
         # ------------------------------------------------ G update
+        div_reg_on = (cfg.z_type in ("speaker", "random")
+                      and cfg.loss_reg_weight > 0.0)
+        # fused_pass: the main and div-reg forwards share pre_seq/text/mfcc
+        # and differ only in speaker ids, so they run as ONE 2B forward and
+        # split after (see GanConfig.fused_pass for the BN/RNG caveats)
+        fuse_g = cfg.fused_pass and div_reg_on
+
         def g_loss_fn(gp, gstats, dstats):
-            out, z, mu, logvar, gstats = gen_fwd(
-                gp, gstats, pre_seq, in_text, in_mfcc, vids, rngs[3]
-            )
+            if fuse_g:
+                bsz = target.shape[0]
+                if cfg.z_type == "speaker":
+                    rand_vids = draw_other_speakers(rngs[4], vids)
+                    vids2 = jnp.concatenate([vids, rand_vids], axis=0)
+                else:  # 'random': z is drawn fresh per sample either way
+                    vids2 = (None if vids is None
+                             else jnp.concatenate([vids, vids], axis=0))
+                out2, z2, mu2, logvar2, gstats = gen_fwd(
+                    gp, gstats,
+                    jnp.concatenate([pre_seq, pre_seq], axis=0),
+                    jnp.concatenate([in_text, in_text], axis=0),
+                    jnp.concatenate([in_mfcc, in_mfcc], axis=0),
+                    vids2, rngs[3],
+                )
+                out, out_rand = out2[:bsz], out2[bsz:]
+                z, z_rand = z2[:bsz], z2[bsz:]
+                mu = None if mu2 is None else mu2[:bsz]
+                logvar = None if logvar2 is None else logvar2[:bsz]
+            else:
+                out, z, mu, logvar, gstats = gen_fwd(
+                    gp, gstats, pre_seq, in_text, in_mfcc, vids, rngs[3]
+                )
             huber = losses.scaled_huber(out, target, beta=0.1)
             loss = cfg.loss_regression_weight * huber
             aux_metrics = {"loss": cfg.loss_regression_weight * huber}
 
-            if cfg.z_type in ("speaker", "random") and cfg.loss_reg_weight > 0.0:
-                if cfg.z_type == "speaker":
-                    rand_vids = draw_other_speakers(rngs[4], vids)
-                else:
-                    rand_vids = None
-                out_rand, z_rand, *_, gstats = gen_fwd(
-                    gp, gstats, pre_seq, in_text, in_mfcc, rand_vids, rngs[5]
-                )
+            if div_reg_on:
+                if not fuse_g:
+                    if cfg.z_type == "speaker":
+                        rand_vids = draw_other_speakers(rngs[4], vids)
+                    else:
+                        rand_vids = None
+                    out_rand, z_rand, *_, gstats = gen_fwd(
+                        gp, gstats, pre_seq, in_text, in_mfcc, rand_vids,
+                        rngs[5]
+                    )
                 div_reg = losses.diversity_regularizer(out, out_rand, z, z_rand)
                 loss = loss + cfg.loss_reg_weight * div_reg
                 aux_metrics["DIV_REG"] = cfg.loss_reg_weight * div_reg

@@ -92,6 +92,7 @@ class Trainer:
         trimodal_metric_interval: int = 1,
         mixed_precision: bool = False,
         divreg_draw: str = "permutation",
+        fused_pass: bool = False,
     ):
         self.cfg = cfg
         self.work_dir = work_dir
@@ -139,6 +140,7 @@ class Trainer:
             decay_steps_per_epoch=steps_per_epoch if lr_decay != 1.0 else 0,
             mixed_precision=mixed_precision,
             divreg_draw=divreg_draw,
+            fused_pass=fused_pass,
         )
         self.variant = variant
         self.gen, self.dis, self.tri = setup["gen"], setup["dis"], setup["tri"]
