@@ -85,13 +85,33 @@ def initialize_distributed(coordinator_address: str | None = None,
 
     On a real pod slice this wires DCN coordination (jax.distributed) so the
     same Mesh code spans hosts; a no-op on single-process setups. The
-    reference has no multi-process story at all (SURVEY §2.7)."""
+    reference has no multi-process story at all (SURVEY §2.7).
+
+    Demonstrated (not just argued): tests/test_multihost.py spawns two real
+    processes over localhost, forms the global mesh through this function
+    and runs one sharded GAN train step with gloo collectives."""
     if num_processes in (None, 1):
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
+    )
+
+
+def shard_batch_across_hosts(batch: dict[str, Any], mesh: Mesh,
+                             axis_name: str = "data"):
+    """Multi-host version of shard_batch: each process passes its LOCAL
+    shard of the batch (rows process_index*per_host:(process_index+1)*
+    per_host of the global batch) and gets back global arrays sharded on
+    `axis_name`. Single-process meshes fall through to shard_batch."""
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh, axis_name)
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)),
+        batch,
     )
 
 
