@@ -81,16 +81,70 @@ def main(argv=None):
         glob.glob(os.path.join(trainer.work_dir, "*_model"))
     )[-2:]
 
-    # 2. FGD scoring with a random-init evaluator (layout-true stand-in for
-    #    outputs/embedding_net.pth.tar, net/embedding_space_evaluator.py:20)
+    # 2. FGD scoring. The released embedding_net.pth.tar is not in this
+    #    image and a RANDOM-INIT evaluator nearly collapses (all-pairs FGD
+    #    ~1e-6, measured), so train the autoencoder briefly on the run's own
+    #    training split — the same recipe that produced the released
+    #    weights (train/embedding_trainer.py) — and score with that.
+    import numpy as np
+
+    from speech2affective_gestures_tpu.data.ted_db import decode_rows
+    from speech2affective_gestures_tpu.train.embedding_trainer import (
+        train_pose_embedding,
+    )
+
     t0 = time.perf_counter()
-    trainer.evaluator = EmbeddingSpaceEvaluator.random_init()
+    tr_ds = trainer.train_data
+    tr_idx = np.arange(min(1024, tr_ds.n_samples))
+    trained = train_pose_embedding(
+        np.asarray(decode_rows(tr_ds, tr_idx)["vec_seq"], np.float32),
+        epochs=8, batch_size=64,
+    )
+    timings["embedding_train_s"] = round(time.perf_counter() - t0, 2)
+    payload["embedding_recon_loss"] = round(trained["final_loss"], 6)
+    trainer.evaluator = EmbeddingSpaceEvaluator(trained["variables"])
+    t0 = time.perf_counter()
     eval_metrics = trainer.generate_gestures(
         batch_size=min(512, trainer.test_data.n_samples), randomized=False
     )
     timings["fgd_eval_s"] = round(time.perf_counter() - t0, 2)
-    payload["eval"] = {k: round(float(v), 4) for k, v in eval_metrics.items()}
+    payload["eval"] = {k: round(float(v), 6) for k, v in eval_metrics.items()}
     assert "FGD" in eval_metrics, "evaluator did not produce an FGD score"
+
+    # 2b. Fréchet discrimination self-check. A collapsed evaluator (or a
+    #    broken Fréchet computation) yields FGD≈0 for EVERY input pair, so
+    #    "the FGD key exists" proves nothing. Prove discrimination instead
+    #    (ref metric semantics: net/embedding_space_evaluator.py:74-101):
+    #    FGD(temporally-shuffled poses, real) must dwarf
+    #    FGD(real-split-A, real-split-B), and the split FGD must be a
+    #    genuine positive number.
+    ds = trainer.test_data
+    idx = np.arange(min(512, ds.n_samples))
+    real = np.asarray(decode_rows(ds, idx)["vec_seq"], np.float32)
+    ev = trainer.evaluator
+    feats = np.asarray(ev._embed(real)[0])
+    half = len(feats) // 2
+    fgd_split = ev.frechet_distance(feats[:half], feats[half:2 * half])
+    # same marginal statistics, destroyed temporal structure: per-sample
+    # frame shuffle + per-frame sample shuffle
+    rng = np.random.default_rng(0)
+    junk = real[rng.permutation(len(real))]
+    junk = np.take_along_axis(
+        junk, rng.permuted(
+            np.broadcast_to(np.arange(junk.shape[1])[None, :, None],
+                            junk.shape), axis=1,
+        ), axis=1,
+    )
+    junk_feats = np.asarray(ev._embed(junk)[0])
+    fgd_junk = ev.frechet_distance(junk_feats, feats)
+    payload["fgd_discrimination"] = {
+        "real_split": float(fgd_split), "shuffled_vs_real": float(fgd_junk),
+    }
+    assert np.isfinite(fgd_split) and fgd_split > 0.0, fgd_split
+    assert fgd_junk > 10.0 * fgd_split, (
+        f"FGD does not discriminate: shuffled-vs-real {fgd_junk} "
+        f"not >> real-split {fgd_split}"
+    )
 
     # 3. long-clip streaming synthesis + artifact dump
     render_dir = os.path.join(base, "render")
