@@ -428,11 +428,14 @@ def load_pth_tar(path: str):
     }
 
 
-def convert_s2ag_checkpoint(blob: Mapping[str, Any], variant: str = "s2ag"):
+def convert_s2ag_checkpoint(blob: Mapping[str, Any], variant: str = "s2ag",
+                            n_layers: int = 4):
     """{'gen_model_dict', 'dis_model_dict'} -> flax variable trees for
     (PoseGenerator, AffDiscriminator | ConvDiscriminator);
-    ref processor_v2.py:1064-1069 and the ablation processors."""
-    gp, gs = pose_generator(blob["gen_model_dict"], variant=variant)
+    ref processor_v2.py:1064-1069 and the ablation processors.
+    n_layers: generator GRU depth / TCN level count (reference default 4)."""
+    gp, gs = pose_generator(blob["gen_model_dict"], n_layers=n_layers,
+                            variant=variant)
     if variant == "abl_aff":  # plain ConvDiscriminator (abl_aff.py:394)
         dp, ds = conv_discriminator_trimodal(blob["dis_model_dict"])
     else:
