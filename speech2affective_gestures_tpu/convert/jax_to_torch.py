@@ -406,7 +406,8 @@ def save_pth_tar(blob: Mapping[str, Any], path: str) -> None:
 
     def to_t(v):
         if isinstance(v, np.ndarray) or np.isscalar(v):
-            return torch.from_numpy(np.asarray(v))
+            # copy: jax.device_get buffers are read-only, torch wants writable
+            return torch.from_numpy(np.array(v))
         if hasattr(v, "items"):
             return {k: to_t(x) for k, x in v.items()}
         return v

@@ -62,7 +62,10 @@ class SynthesisService:
         self.gen = gen
         self.variables = variables
         self.use_mfcc = use_mfcc
-        self.scan_fn = synthesis.make_window_scan(gen.apply, cfg, use_mfcc)
+        # the whole request path (MFCC -> window scan -> crossfade -> FK)
+        # as ONE device program per window bucket: one dispatch + one fetch
+        # per request instead of one per stage (synthesis.make_fused_clip_fn)
+        self.clip_fn = synthesis.make_fused_clip_fn(gen.apply, cfg, use_mfcc)
         self._lock = threading.Lock()
         self._counter = 0
 
@@ -127,15 +130,10 @@ class SynthesisService:
         with self._lock:
             self._counter += 1
             rng = jax.random.key(self._counter)
-            dir_vec = synthesis.synthesize_clip(
-                self.gen.apply, self.variables, audio, words, self.lang,
+            dir_vec, poses = synthesis.synthesize_clip_fused(
+                self.clip_fn, self.variables, audio, words, self.lang,
                 self.cfg, vid_idx=vid_idx, rng=rng, fade_out=fade_out,
-                use_mfcc=self.use_mfcc, scan_fn=self.scan_fn,
-                window_bucketing=True,
             )
-        poses = np.asarray(pose_ops.convert_dir_vec_to_pose(
-            jnp.asarray(dir_vec + self.cfg.mean_dir_vec_array)
-        ))
         return {
             "dir_vec": dir_vec,
             "poses": poses,

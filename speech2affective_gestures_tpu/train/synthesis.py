@@ -27,6 +27,7 @@ from .. import constants as C
 from ..config import ModelConfig
 from ..data.preprocessor import get_words_in_time_range
 from ..ops import dsp
+from ..ops import pose as pose_ops
 
 
 def plan_subdivisions(clip_length: float, cfg: ModelConfig,
@@ -238,3 +239,141 @@ def synthesize_clip(
     if fade_out:
         out_dir_vec = fade_out_poses(out_dir_vec, end_padding, cfg, sample_rate)
     return out_dir_vec
+
+
+# ---------------------------------------------------------------------------
+# fused serving path: the WHOLE request as one device program
+# ---------------------------------------------------------------------------
+
+
+def make_fused_clip_fn(gen_apply, cfg: ModelConfig, use_mfcc: bool = True):
+    """Compile the complete serving computation as ONE jitted program:
+    MFCC front-end -> autoregressive window scan -> validity-masked
+    crossfade/assembly -> mean re-add -> FK pose conversion.
+
+    The unfused path (synthesize_clip) pays one dispatch + device->host
+    round-trip PER STAGE — over the axon tunnel (~30 ms RTT each) that
+    fixed cost dominated short clips (834 ms median for 5 s,
+    docs/PERFORMANCE.md). Here a request is one host->device transfer, one
+    program, one fetch.
+
+    fused(variables, audio_windows (S, L), text_windows (S, T), vid_idx
+    (1,), seed (n_pre, D), rng, n_valid) -> (dir_vec (F_max, D), poses
+    (F_max, J, 3)) where F_max = (S-1)*stride + T; rows past
+    (n_valid-1)*stride + T are garbage from padded windows — the host
+    slices them off. The masked crossfade reproduces crossfade_windows
+    exactly for the valid prefix (windows are sequential, so padded
+    windows can only ever APPEND rows, never corrupt valid ones; the
+    validity mask stops the first padded window from blending into the
+    last n_pre real rows).
+    """
+    n_pre = cfg.n_pre_poses
+    t = cfg.n_poses
+    stride = t - n_pre
+    mean_vec = jnp.asarray(cfg.mean_dir_vec_array.reshape(-1))
+
+    @jax.jit
+    def fused(variables, audio_windows, text_windows, vid_idx, seed, rng,
+              n_valid):
+        if use_mfcc:
+            feat_windows = dsp.get_mfcc_features_fast(
+                audio_windows, sr=C.AUDIO_SR, num_mfcc=cfg.num_mfcc
+            )[..., : cfg.mfcc_length]
+        else:
+            feat_windows = audio_windows
+
+        def step(carry, xs):
+            sd, key = carry
+            feat, text = xs
+            pre = jnp.zeros((1, t, C.POSE_DIM + 1))
+            pre = pre.at[0, :n_pre, :-1].set(sd)
+            pre = pre.at[0, :n_pre, -1].set(1.0)
+            key, sub = jax.random.split(key)
+            out, *_ = gen_apply(
+                variables, pre, text[None], feat[None], vid_idx,
+                train=False, rngs={"noise": sub},
+            )
+            return (out[0, -n_pre:], key), out[0]
+
+        with jax.default_matmul_precision("highest"):
+            (_, _), outs = jax.lax.scan(
+                step, (seed, rng), (feat_windows, text_windows)
+            )  # (S, T, D)
+
+        s = outs.shape[0]
+        # linear crossfade of each window's first n_pre frames with the
+        # previous window's last n_pre raw frames (crossfade_windows above,
+        # ref processor_v2.py:1302-1331)
+        j = jnp.arange(n_pre, dtype=outs.dtype)
+        w_prev = ((n_pre - j) / (n_pre + 1))[:, None]
+        w_next = ((j + 1) / (n_pre + 1))[:, None]
+        if s > 1:
+            blended_head = outs[:-1, -n_pre:] * w_prev + outs[1:, :n_pre] * w_next
+            blended = outs.at[1:, :n_pre].set(blended_head)
+        else:
+            blended = outs
+
+        f_max = (s - 1) * stride + t
+        dir_vec = jnp.zeros((f_max, outs.shape[-1]), outs.dtype)
+        for i in range(s):  # static loop, compiled once per bucket
+            lo = i * stride
+            cur = jax.lax.dynamic_slice_in_dim(dir_vec, lo, t, axis=0)
+            write = jnp.where(i < n_valid, blended[i], cur)
+            dir_vec = jax.lax.dynamic_update_slice_in_dim(
+                dir_vec, write, lo, axis=0
+            )
+
+        poses = pose_ops.convert_dir_vec_to_pose(dir_vec + mean_vec)
+        return dir_vec, poses
+
+    return fused
+
+
+def synthesize_clip_fused(
+    clip_fn,
+    variables,
+    clip_audio: np.ndarray,
+    clip_words,
+    lang_model,
+    cfg: ModelConfig,
+    vid_idx: int = 0,
+    rng: jax.Array | None = None,
+    sample_rate: int = C.AUDIO_SR,
+    fade_out: bool = False,
+):
+    """Serving-path synthesis through a make_fused_clip_fn program.
+
+    Host work is reduced to window planning/slicing (numpy views) and the
+    final slice to the real frame count; window counts are bucketed to the
+    next power of two so the program compiles once per bucket. Returns
+    (dir_vec (F, D), poses (F, J, 3)) as numpy arrays.
+    """
+    audio_windows, text_windows, end_padding = prepare_window_inputs(
+        clip_audio, clip_words, lang_model, cfg, sample_rate
+    )
+    n_windows = len(audio_windows)
+    bucket = 1 << max(2, (n_windows - 1).bit_length())
+    if bucket > n_windows:
+        pad = bucket - n_windows
+        audio_windows = np.pad(audio_windows, ((0, pad), (0, 0)))
+        text_windows = np.pad(text_windows, ((0, pad), (0, 0)))
+    dir_vec_full, poses_full = clip_fn(
+        variables, jnp.asarray(audio_windows), jnp.asarray(text_windows),
+        jnp.asarray([vid_idx]),
+        jnp.zeros((cfg.n_pre_poses, C.POSE_DIM)),
+        rng if rng is not None else jax.random.key(0),
+        jnp.asarray(n_windows, jnp.int32),
+    )
+    n_real = (n_windows - 1) * (cfg.n_poses - cfg.n_pre_poses) + cfg.n_poses
+    dir_vec, poses = jax.device_get((dir_vec_full[:n_real],
+                                     poses_full[:n_real]))
+    if fade_out:
+        # host-side polyfit smoothing (rare path, numpy by nature); the
+        # poses must then be recomputed from the smoothed vectors.
+        # device_get hands back read-only buffers, so copy first.
+        dir_vec = fade_out_poses(dir_vec.copy(), end_padding, cfg,
+                                 sample_rate)
+        poses = np.asarray(pose_ops.convert_dir_vec_to_pose(
+            jnp.asarray(dir_vec + cfg.mean_dir_vec_array.reshape(-1))
+        ))
+    return dir_vec, poses

@@ -124,3 +124,53 @@ def test_synthesize_clip_fade_out(rng):
     )
     # fades to the mean pose (zeros in normalized space) at the tail
     assert np.abs(out[-1]).max() < 1e-6
+
+
+def test_fused_clip_fn_matches_unfused_path(rng):
+    """The one-dispatch serving program (make_fused_clip_fn: MFCC -> scan
+    -> masked crossfade -> FK) must reproduce the staged synthesize_clip
+    path bit-for-bit-close on the same inputs/rng, including when window
+    bucketing pads the window count (the validity mask keeps padded
+    windows from blending into the last real frames)."""
+    gen, variables = _tiny_generator()
+    lang = Vocab("w")
+    for w in ("hello", "world"):
+        lang.index_word(w)
+    clip_fn = synthesis.make_fused_clip_fn(gen.apply, CFG)
+    for clip_seconds in (8.0, 13.0):  # 4-window bucket exact + padded
+        n_audio = int(clip_seconds * C.AUDIO_SR)
+        audio = (0.3 * np.sin(
+            2 * np.pi * 220 * np.arange(n_audio) / C.AUDIO_SR
+        )).astype(np.float32)
+        words = [["hello", 0.5, 1.0], ["world", 3.0, 3.5]]
+        want = synthesis.synthesize_clip(
+            gen.apply, variables, audio, words, lang, CFG, vid_idx=1,
+            rng=jax.random.key(3),
+        )
+        dir_vec, poses = synthesis.synthesize_clip_fused(
+            clip_fn, variables, audio, words, lang, CFG, vid_idx=1,
+            rng=jax.random.key(3),
+        )
+        assert dir_vec.shape == want.shape, clip_seconds
+        np.testing.assert_allclose(dir_vec, want, rtol=1e-5, atol=1e-5)
+        from speech2affective_gestures_tpu.ops import pose as pose_ops
+        import jax.numpy as jnp
+
+        want_poses = np.asarray(pose_ops.convert_dir_vec_to_pose(
+            jnp.asarray(want + CFG.mean_dir_vec_array.reshape(-1))
+        ))
+        np.testing.assert_allclose(poses, want_poses, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_clip_fn_fade_out(rng):
+    gen, variables = _tiny_generator()
+    lang = Vocab("w")
+    lang.index_word("x")
+    audio = rng.standard_normal(int(5.0 * C.AUDIO_SR)).astype(np.float32) * 0.1
+    clip_fn = synthesis.make_fused_clip_fn(gen.apply, CFG)
+    dir_vec, poses = synthesis.synthesize_clip_fused(
+        clip_fn, variables, audio, [["x", 0.2, 0.6]], lang, CFG,
+        rng=jax.random.key(1), fade_out=True,
+    )
+    assert np.abs(dir_vec[-1]).max() < 1e-6
+    assert poses.shape == (len(dir_vec), C.NUM_JOINTS, 3)

@@ -140,18 +140,18 @@ def test_load_smoke_no_steadystate_recompiles(service):
     """N concurrent requests over a spread of clip lengths: all succeed, and
     the power-of-two window bucketing keeps the compiled-shape set bounded
     (steady state never recompiles — serve.py:22-24). Compilations are
-    counted by wrapping the service's scan_fn and recording the bucketed
-    window-count shapes it sees."""
+    counted by wrapping the service's fused clip program and recording the
+    bucketed window-count shapes it sees."""
     import threading
 
     seen_shapes = set()
-    orig_scan = service.scan_fn
+    orig_clip = service.clip_fn
 
-    def counting_scan(variables, feat_windows, text_windows, *a, **k):
-        seen_shapes.add(feat_windows.shape[0])
-        return orig_scan(variables, feat_windows, text_windows, *a, **k)
+    def counting_clip(variables, audio_windows, text_windows, *a, **k):
+        seen_shapes.add(audio_windows.shape[0])
+        return orig_clip(variables, audio_windows, text_windows, *a, **k)
 
-    service.scan_fn = counting_scan
+    service.clip_fn = counting_clip
     try:
         # warm the buckets once (the server does this at startup)
         service.warmup(seconds=20.0)
@@ -187,4 +187,4 @@ def test_load_smoke_no_steadystate_recompiles(service):
             f"requests created new scan shapes: {seen_shapes - warm_shapes}"
         )
     finally:
-        service.scan_fn = orig_scan
+        service.clip_fn = orig_clip
