@@ -440,6 +440,33 @@ def make_synthetic_videos(n_videos: int = 3, clip_seconds: float = 12.0,
     return videos
 
 
+def make_synthetic_pose_windows(n_videos: int, clip_seconds: float,
+                                cfg, seed: int = 0,
+                                shuffle: bool = True) -> np.ndarray:
+    """Pose-ONLY synthetic windows `(N, n_poses, 27)` — normalized dir-vecs,
+    windowed like the preprocessor but skipping audio/MFCC entirely, so a
+    large corpus costs <1 s. Used where only the pose distribution matters
+    (FGD embedding-net training, metric self-checks): the full
+    `build_dataset_from_videos` pipeline pays a per-window MFCC that makes
+    512+ windows prohibitively slow on a 1-core host. Shuffles across
+    videos by default so contiguous slices are iid (split halves of an
+    UNshuffled corpus differ systematically by source video)."""
+    from .preprocessor import _pose_seq_to_dir_vec_np
+
+    mean_dir_vec = np.asarray(cfg.mean_dir_vec_array, np.float32).reshape(1, -1, 3)
+    wins = []
+    for v in make_synthetic_videos(n_videos=n_videos,
+                                   clip_seconds=clip_seconds, seed=seed):
+        skel = np.asarray(v["clips"][0]["skeletons_3d"])  # already 15 fps
+        dv = (_pose_seq_to_dir_vec_np(skel) - mean_dir_vec).reshape(len(skel), -1)
+        for s in range(0, len(skel) - cfg.n_poses + 1, cfg.subdivision_stride):
+            wins.append(dv[s:s + cfg.n_poses])
+    out = np.asarray(wins, np.float32)
+    if shuffle:
+        out = out[np.random.default_rng(seed).permutation(len(out))]
+    return out
+
+
 # --------------------------------------------------------------------------
 # original TED lmdb ingestion (gated on lmdb + pyarrow)
 # --------------------------------------------------------------------------
