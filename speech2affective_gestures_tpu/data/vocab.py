@@ -116,3 +116,24 @@ def make_speaker_vocab(video_ids: Iterable[str]) -> Vocab:
     for vid in video_ids:
         vocab.index_word(vid)
     return vocab
+
+
+def normalize_string(s: str) -> str:
+    """Lowercase/trim, isolate ,.!? as tokens, drop apostrophes, squeeze
+    everything else to single spaces (ref utils/ted_db_utils.py:20-28;
+    defined-but-uncalled upstream, kept for text-cleaning API parity)."""
+    import re
+
+    s = s.lower().strip()
+    s = re.sub(r"([,.!?])", r" \1 ", s)
+    s = re.sub(r"(['])", r"", s)
+    s = re.sub(r"[^a-zA-Z,.!?]+", r" ", s)
+    return re.sub(r"\s+", r" ", s).strip()
+
+
+def remove_tags_marks(text: str) -> str:
+    """Strip <...> tags and clustered punctuation
+    (ref utils/ted_db_utils.py:31-34)."""
+    import re
+
+    return re.sub(re.compile(r"<.*?>|[.,:;!?]+"), "", text)

@@ -141,3 +141,54 @@ def test_extend_word_seq_remove_word_timing():
     assert seq[10] == lang.get_word_index("b")
     assert seq[15] == lang.get_word_index("c")
     assert (seq != 0).sum() == 3
+
+
+def test_text_normalizers_match_reference():
+    """normalize_string / remove_tags_marks (ref utils/ted_db_utils.py:20-34;
+    defined-but-uncalled upstream). Oracle-compared when the reference module
+    imports (librosa absent -> stub), plus pinned goldens either way."""
+    from speech2affective_gestures_tpu.data.vocab import (
+        normalize_string,
+        remove_tags_marks,
+    )
+
+    cases = [
+        "  Hello, WORLD! it's 42 degrees...  ",
+        "don't <b>stop</b>; never?!",
+        "ALL CAPS AND numbers 123",
+        "",
+    ]
+    assert normalize_string(cases[0]) == "hello , world ! its degrees . . ."
+    assert remove_tags_marks("<i>wow</i>, really?! yes: no;") == (
+        "wow really yes no"
+    )
+
+    import sys
+    import types
+
+    from _reference_oracle import load as load_reference
+
+    saved = {}
+    for name in ("librosa", "sklearn", "sklearn.preprocessing", "scipy",
+                 "scipy.interpolate"):
+        saved[name] = sys.modules.get(name)
+    stub_lr = types.ModuleType("librosa")
+    stub_skp = types.ModuleType("sklearn.preprocessing")
+    stub_skp.normalize = lambda *a, **k: None
+    stub_sk = types.ModuleType("sklearn")
+    stub_sk.preprocessing = stub_skp
+    sys.modules["librosa"] = stub_lr
+    sys.modules["sklearn"] = stub_sk
+    sys.modules["sklearn.preprocessing"] = stub_skp
+    try:
+        ref = load_reference("utils/ted_db_utils.py", "_ref_ted_db_utils")
+        if ref is not None:
+            for s in cases:
+                assert normalize_string(s) == ref.normalize_string(s)
+                assert remove_tags_marks(s) == ref.remove_tags_marks(s)
+    finally:
+        for name, prev in saved.items():
+            if prev is None:
+                sys.modules.pop(name, None)
+            else:
+                sys.modules[name] = prev
