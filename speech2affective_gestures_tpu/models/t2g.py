@@ -34,7 +34,7 @@ def positional_encoding(max_len: int, d_model: int) -> np.ndarray:
     position = np.arange(max_len)[:, None].astype(np.float32)
     div = np.exp(np.arange(0, d_model, 2) * (-math.log(10000.0) / d_model))
     pe[:, 0::2] = np.sin(position * div)
-    pe[:, 1::2] = np.cos(position * div)
+    pe[:, 1::2] = np.cos(position * div[: d_model // 2])  # odd d_model safe
     return pe
 
 
