@@ -127,6 +127,7 @@ def init_training(
     mixed_precision: bool = False,
     divreg_draw: str = "permutation",
     fused_pass: bool = False,
+    remat: str = "none",
 ):
     """Build modules, init variables, create TrainState + step fns.
 
@@ -171,6 +172,7 @@ def init_training(
         decay_steps_per_epoch=decay_steps_per_epoch,
         divreg_draw=divreg_draw,
         fused_pass=fused_pass,
+        remat=remat,
     )
     state = create_train_state(gen_vars, dis_vars, gan_cfg, tri_vars)
     tri_apply = tri.apply if with_trimodal else None

@@ -89,6 +89,18 @@ class GanConfig:
     # stochastic level while every loss term keeps its exact formula.
     # Default off = reference parity.
     fused_pass: bool = False
+    # rematerialization of the network forwards inside the gradient passes:
+    # 'none' (default — XLA keeps all backward residuals in HBM, exactly the
+    # torch autograd behavior), 'full' (jax.checkpoint with the default
+    # save-nothing policy: the backward re-runs each forward instead of
+    # reading stored activations — trades FLOPs, of which the
+    # traffic-bound step has ~7x headroom, for HBM activation traffic),
+    # 'dots' (dots_with_no_batch_dims_saveable: matmul/conv outputs are
+    # kept, only the elementwise chains between them recompute). Numerics
+    # are unchanged (same forward values, same gradients — remat only moves
+    # WHERE residuals come from), so unlike fused_pass this is
+    # trajectory-preserving; see docs/PERFORMANCE.md for the measured A/B.
+    remat: str = "none"
 
     @property
     def lr_dis(self) -> float:
@@ -219,6 +231,14 @@ def make_train_step(
             mutable=["batch_stats"],
         )
         return prob, mut["batch_stats"]
+
+    if cfg.remat not in ("none", "full", "dots"):
+        raise ValueError(f"unknown remat mode {cfg.remat!r}")
+    if cfg.remat != "none":
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if cfg.remat == "dots" else None)
+        gen_fwd = jax.checkpoint(gen_fwd, policy=policy)
+        dis_fwd = jax.checkpoint(dis_fwd, policy=policy)
 
     # the TrainState (params + both Adam states, arg 0) is DONATED: its
     # HBM buffers are reused for the updated state instead of allocating a

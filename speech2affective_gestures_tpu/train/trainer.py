@@ -93,6 +93,7 @@ class Trainer:
         mixed_precision: bool = False,
         divreg_draw: str = "permutation",
         fused_pass: bool = False,
+        remat: str = "none",
     ):
         self.cfg = cfg
         self.work_dir = work_dir
@@ -141,6 +142,7 @@ class Trainer:
             mixed_precision=mixed_precision,
             divreg_draw=divreg_draw,
             fused_pass=fused_pass,
+            remat=remat,
         )
         self.variant = variant
         self.gen, self.dis, self.tri = setup["gen"], setup["dis"], setup["tri"]
