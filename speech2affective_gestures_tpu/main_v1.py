@@ -50,6 +50,51 @@ def build_parser():
     p.add_argument("--weight-decay", type=float, default=5e-4)
     p.add_argument("--nesterov", type=str2bool, default=True)
     p.add_argument("--synthetic-data", type=str2bool, default=False)
+    # --- reference-CLI compatibility (main.py:40-122) ---
+    # aliases for flags we name differently
+    # (SUPPRESS: only override the primary flag's value when actually passed)
+    p.add_argument("--base-lr-ser", type=float, dest="base_lr",
+                   default=argparse.SUPPRESS,
+                   help="alias of --base-lr (reference main.py:81)")
+    p.add_argument("--ser-optimizer", type=str, dest="optimizer",
+                   default=argparse.SUPPRESS,
+                   help="alias of --optimizer (main.py:79)")
+    # parsed-but-unused upstream (the v1 processor ignores them) or
+    # meaningless off-GPU; accepted so reference command lines run verbatim
+    for flag, typ, default in (
+        ("--dataset-s2eg", str, "ted_db"),
+        ("--frame-drop", int, 2),
+        ("--add-mirrored", str2bool, False),
+        ("--use-multiple-gpus", str2bool, True),
+        ("--ser-load-last-best", str2bool, True),
+        ("--s2eg-load-last-best", str2bool, True),
+        ("--num-worker", int, 4),
+        ("--ser-start-epoch", int, 0),
+        ("--s2eg-start-epoch", int, 0),
+        ("--base-tr", float, 1.0),
+        ("--lr-ser-decay", float, 0.999),
+        ("--lr-s2eg-decay", float, 0.999),
+        ("--gradient-clip", float, 0.1),
+        ("--momentum", float, 0.9),
+        ("--upper-body-weight", float, 1.0),
+        ("--affs-reg", float, 0.8),
+        ("--quat-norm-reg", float, 0.1),
+        ("--quat-reg", float, 1.2),
+        ("--recons-reg", float, 1.2),
+        ("--eval-interval", int, 1),
+        ("--log-interval", int, 100),
+        ("--save-interval", int, 10),
+    ):
+        p.add_argument(flag, type=typ, default=default,
+                       help="no-op (reference-CLI compatibility)")
+    p.add_argument("-dap", "--dataset-s2eg-already-processed",
+                   type=str2bool, default=True,
+                   help="no-op (reference-CLI compatibility)")
+    p.add_argument("--step", nargs="*", default=None,
+                   help="no-op (reference-CLI compatibility)")
+    for flag in ("--no-cuda", "--pavi-log", "--print-log", "--save-log"):
+        p.add_argument(flag, action="store_true", default=False,
+                       help="no-op (reference-CLI compatibility)")
     return p
 
 

@@ -89,6 +89,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "the in-batch ids (processor_v2.py:902-903, default); "
                         "'fresh' = uniform draw excluding each sample's own "
                         "id (never fix-points)")
+    p.add_argument("--remat", type=str, default="none",
+                   choices=("none", "full", "dots"),
+                   help="rematerialize network forwards in the backward "
+                        "pass (trajectory-preserving: identical values and "
+                        "gradients; trades recompute FLOPs for HBM "
+                        "activation traffic — see docs/PERFORMANCE.md)")
     p.add_argument("--trimodal-metric-interval", type=int, default=1,
                    help="compute the frozen-trimodal comparison metric "
                         "every K-th train step (1 = every step = reference "
@@ -114,6 +120,31 @@ def build_parser() -> argparse.ArgumentParser:
                         "splits without lmdb/pyarrow-0.14")
     p.add_argument("--print-log", action="store_true", default=True)
     p.add_argument("--save-log", action="store_true", default=True)
+    # --- reference-CLI compatibility no-ops (main_v2.py:58-98) ---
+    # The reference parses all of these and uses NONE of them in the v2
+    # path (they are SGD-era leftovers: the s2ag optimizer is Adam with
+    # hardcoded betas, processor_v2.py:215-220; pavi logging is stubbed
+    # out in torchlight/io.py:33-49; no-cuda is meaningless on TPU).
+    # Accepting them keeps every reference command line working verbatim.
+    for flag, typ, default in (
+        ("--base-tr", float, 1.0),
+        ("--nesterov", str2bool, True),
+        ("--momentum", float, 0.9),
+        ("--weight-decay", float, 5e-4),
+        ("--upper-body-weight", float, 1.0),
+        ("--affs-reg", float, 0.8),
+        ("--quat-norm-reg", float, 0.1),
+        ("--quat-reg", float, 1.2),
+        ("--recons-reg", float, 1.2),
+    ):
+        p.add_argument(flag, type=typ, default=default,
+                       help="no-op (reference parses but never uses it)")
+    p.add_argument("--step", nargs="*", default=None,
+                   help="no-op (reference parses but never uses it)")
+    p.add_argument("--no-cuda", action="store_true", default=False,
+                   help="no-op (accelerator choice is JAX's)")
+    p.add_argument("--pavi-log", action="store_true", default=False,
+                   help="no-op (stubbed in the reference too)")
     return p
 
 
@@ -200,6 +231,7 @@ def main(argv=None, variant: str = "s2ag"):
         mixed_precision=args.mixed_precision,
         divreg_draw=args.divreg_draw,
         fused_pass=args.fused_pass,
+        remat=args.remat,
     )
     trainer.logger.save_arg(vars(args))
     if not args.apply_lr_decay:
