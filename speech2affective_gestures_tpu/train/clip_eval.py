@@ -98,6 +98,9 @@ class ClipRenderer:
             synthesis.make_window_scan(trainer.tri.apply, self.cfg, use_mfcc=False)
             if trainer.state.tri_params is not None else None
         )
+        # batched multi-clip programs, compiled lazily on first use
+        self._s2ag_batched = None
+        self._tri_batched = None
 
     def _gen_vars(self):
         s = self.trainer.state
@@ -206,14 +209,126 @@ class ClipRenderer:
             )
         return clip_poses_resampled, out_poses_trimodal, out_poses
 
+    def render_clips_batched(self, clip_specs, fade_out: bool = False,
+                             save_pkl: bool = False,
+                             save_path: str = "render"):
+        """Synthesize MANY clips in one device program per generator.
+
+        The reference's generate_gestures_by_dataset loop (and render_clip
+        above) runs each clip's window scan at generator batch 1; here the
+        whole clip set runs through synthesis.make_batched_clip_fn — S
+        sequential scan steps of ONE batch-B generator forward each — so
+        dataset-wide evaluation scales with the chip, not the clip count.
+
+        clip_specs: list of dicts with keys vid_name, clip_poses,
+        clip_audio (at C.AUDIO_SR), clip_words, clip_time,
+        speaker_vid_idx, rng. Returns a list of (clip_poses_resampled,
+        out_poses_trimodal, out_poses) in input order — the same tuple
+        render_clip returns (video rendering stays on the per-clip path).
+        """
+        cfg = self.cfg
+        mean_dir_vec = cfg.mean_dir_vec_array
+        lang = (self.trainer.test_data.lang_model
+                if self.trainer.test_data is not None else None)
+        if not clip_specs:
+            return []
+
+        prepped = []
+        for spec in clip_specs:
+            duration = spec["clip_time"][1] - spec["clip_time"][0]
+            resampled = resample_pose_seq(
+                spec["clip_poses"], duration, cfg.motion_resampling_framerate
+            )
+            target_dir_vec = np.asarray(pose_ops.convert_pose_seq_to_dir_vec(
+                jnp.asarray(resampled)
+            )).reshape(len(resampled), -1) - mean_dir_vec
+            words = [[w[0], w[1] - spec["clip_time"][0],
+                      w[2] - spec["clip_time"][0]] for w in spec["clip_words"]]
+            r1, r2 = jax.random.split(
+                spec["rng"] if spec.get("rng") is not None else jax.random.key(0)
+            )
+            prepped.append({
+                "resampled": resampled, "target": target_dir_vec,
+                "words": words, "seed": target_dir_vec[: cfg.n_pre_poses],
+                "r1": r1, "r2": r2,
+            })
+
+        if self._s2ag_batched is None:
+            self._s2ag_batched = synthesis.make_batched_clip_fn(
+                self.trainer.gen.apply, cfg, use_mfcc=self._use_mfcc
+            )
+        triples = [
+            (spec["clip_audio"], p["words"], spec["speaker_vid_idx"])
+            for spec, p in zip(clip_specs, prepped)
+        ]
+        seeds = [p["seed"] for p in prepped]
+        s2ag_out = synthesis.synthesize_clips_batched(
+            self._s2ag_batched, self._gen_vars(), triples, lang, cfg,
+            fade_out=fade_out, seeds=seeds,
+            keys=jnp.stack([p["r1"] for p in prepped]),
+        )
+
+        tri_out = [None] * len(clip_specs)
+        if self.trainer.state.tri_params is not None:
+            if self._tri_batched is None:
+                self._tri_batched = synthesis.make_batched_clip_fn(
+                    self.trainer.tri.apply, cfg, use_mfcc=False
+                )
+            tri_out = synthesis.synthesize_clips_batched(
+                self._tri_batched, self._tri_vars(), triples, lang, cfg,
+                fade_out=fade_out, seeds=seeds,
+                keys=jnp.stack([p["r2"] for p in prepped]),
+            )
+
+        results = []
+        for spec, p, s2ag, tri in zip(clip_specs, prepped, s2ag_out, tri_out):
+            out_dir_vec, out_poses = s2ag
+            target_dir_vec = p["target"]
+            if fade_out:
+                _, _, end_padding = synthesis.prepare_window_inputs(
+                    spec["clip_audio"], p["words"], lang, cfg
+                )
+                start_f, end_f = synthesis.fade_frame_range(
+                    len(out_dir_vec), end_padding, cfg
+                )
+                if 0 <= start_f and end_f <= len(target_dir_vec):
+                    target_dir_vec = synthesis.polyfit_smooth(
+                        target_dir_vec.copy(), start_f, end_f
+                    )
+            out_poses_trimodal = None if tri is None else tri[1]
+            if save_pkl:
+                prefix = (f"{spec['vid_name']}_s{spec['speaker_vid_idx']}_"
+                          f"{spec['clip_time'][0]:.2f}_{spec['clip_time'][1]:.2f}")
+                sentence = " ".join(w[0] for w in spec["clip_words"])
+                if tri is not None:
+                    video_mod.save_generation_pkl(
+                        save_path, prefix, "trimodal", sentence,
+                        spec["clip_audio"], tri[0] + mean_dir_vec, tri[1],
+                        target_dir_vec + mean_dir_vec,
+                        f"{spec['vid_name']}_{spec['speaker_vid_idx']}_0",
+                    )
+                video_mod.save_generation_pkl(
+                    save_path, prefix, "s2ag", sentence, spec["clip_audio"],
+                    out_dir_vec + mean_dir_vec, out_poses,
+                    target_dir_vec + mean_dir_vec,
+                    f"{spec['vid_name']}_{spec['speaker_vid_idx']}_0",
+                )
+            results.append((p["resampled"], out_poses_trimodal, out_poses))
+        return results
+
 
 def generate_gestures_by_dataset(
     trainer, dataset: str = "ted_db", data_params: dict | None = None,
     check_duration: bool = True, samples=None, randomized: bool = True,
     fade_out: bool = False, make_video: bool = False, save_pkl: bool = False,
-    save_path: str = "render", seed: int = 0,
+    save_path: str = "render", seed: int = 0, batched: bool = False,
 ):
-    """ref processor_v2.py:1441-1567."""
+    """ref processor_v2.py:1441-1567.
+
+    batched=True (ted_db, no video): synthesize ALL clips in one device
+    program per generator via ClipRenderer.render_clips_batched — same
+    speaker/rng draw sequence as the per-clip loop, so results line up.
+    """
     data_params = dict(data_params or {})
     renderer = ClipRenderer(trainer)
     rng = np.random.default_rng(seed)
@@ -222,10 +337,16 @@ def generate_gestures_by_dataset(
 
     if dataset.lower() == "ted_db":
         data_params.setdefault("clip_duration_range", [5, 12])
+        if batched and make_video:
+            raise ValueError(
+                "batched dataset generation does not render videos; use "
+                "batched=False for the video path"
+            )
         n_speakers = (
             trainer.test_data.speaker_model.n_words
             if trainer.test_data.speaker_model else 1
         )
+        batch_specs = []
         for clip in stitch_test_clips(trainer.test_data):
             # reference filter semantics: keep clips whose vid appears as a
             # substring of any requested sample prefix (processor_v2.py:1486)
@@ -234,6 +355,19 @@ def generate_gestures_by_dataset(
             ):
                 continue
             vid_idx = int(rng.integers(0, n_speakers)) if randomized else 0
+            clip_rng = jax.random.key(int(rng.integers(1 << 31)))
+            if batched:
+                duration = clip["time"][1] - clip["time"][0]
+                lo, hi = data_params["clip_duration_range"]
+                if check_duration and not (lo <= duration <= hi):
+                    continue
+                batch_specs.append({
+                    "vid_name": clip["vid"], "clip_poses": clip["poses"],
+                    "clip_audio": clip["audio"],
+                    "clip_words": clip["words"], "clip_time": clip["time"],
+                    "speaker_vid_idx": vid_idx, "rng": clip_rng,
+                })
+                continue
             res = renderer.render_clip(
                 clip["vid"], clip["poses"], clip["audio"], C.AUDIO_SR,
                 clip["words"], clip["time"], speaker_vid_idx=vid_idx,
@@ -241,10 +375,19 @@ def generate_gestures_by_dataset(
                 check_duration=check_duration, fade_out=fade_out,
                 make_video=make_video, save_pkl=save_pkl,
                 save_path=save_path,
-                rng=jax.random.key(int(rng.integers(1 << 31))),
+                rng=clip_rng,
             )
             if res[0] is not None:
                 results.append((clip["vid"], res))
+        if batched and batch_specs:
+            batch_results = renderer.render_clips_batched(
+                batch_specs, fade_out=fade_out, save_pkl=save_pkl,
+                save_path=save_path,
+            )
+            results.extend(
+                (spec["vid_name"], res)
+                for spec, res in zip(batch_specs, batch_results)
+            )
     elif dataset.lower() == "genea_challenge_2020":
         data_path = data_params["data_path"]
         file_names = sorted(

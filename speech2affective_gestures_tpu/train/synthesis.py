@@ -267,12 +267,17 @@ def make_fused_clip_fn(gen_apply, cfg: ModelConfig, use_mfcc: bool = True):
     validity mask stops the first padded window from blending into the
     last n_pre real rows).
     """
+    return jax.jit(_fused_clip_body(gen_apply, cfg, use_mfcc))
+
+
+def _fused_clip_body(gen_apply, cfg: ModelConfig, use_mfcc: bool = True):
+    """The single-clip fused program body (unjitted) — shared by
+    make_fused_clip_fn (jit) and make_batched_clip_fn (jit∘vmap)."""
     n_pre = cfg.n_pre_poses
     t = cfg.n_poses
     stride = t - n_pre
     mean_vec = jnp.asarray(cfg.mean_dir_vec_array.reshape(-1))
 
-    @jax.jit
     def fused(variables, audio_windows, text_windows, vid_idx, seed, rng,
               n_valid):
         if use_mfcc:
@@ -327,6 +332,105 @@ def make_fused_clip_fn(gen_apply, cfg: ModelConfig, use_mfcc: bool = True):
         return dir_vec, poses
 
     return fused
+
+
+def make_batched_clip_fn(gen_apply, cfg: ModelConfig, use_mfcc: bool = True):
+    """Compile MULTI-CLIP fused synthesis: the single-clip fused program
+    vmapped over a leading clip axis B, one jitted program for the batch.
+
+    The per-clip paths (synthesize_clip / synthesize_clip_fused) run the
+    autoregressive window scan at generator batch 1 — B clips cost B*S
+    sequential batch-1 forwards, leaving the MXU almost idle. Under vmap
+    the scan still walks S windows sequentially (autoregression demands
+    it), but each step is ONE generator forward at batch B: dataset-wide
+    synthesis (ref generate_gestures_by_dataset, processor_v2.py:1441-1567,
+    which loops clips one at a time) and batch serving scale with the
+    chip instead of the clip count.
+
+    vmap axes: variables broadcast; audio (B, S, L), text (B, S, T),
+    vid_idx (B, 1), seed (B, n_pre, D), per-clip rng keys (B,), n_valid
+    (B,). Per-lane numerics match the single-clip program given the same
+    per-clip key (same RNG consumption — the key is split inside each
+    lane), up to batched-matmul reduction-order effects.
+    """
+    body = _fused_clip_body(gen_apply, cfg, use_mfcc)
+    return jax.jit(jax.vmap(body, in_axes=(None, 0, 0, 0, 0, 0, 0)))
+
+
+def synthesize_clips_batched(
+    batched_fn,
+    variables,
+    clips,
+    lang_model,
+    cfg: ModelConfig,
+    rng: jax.Array | None = None,
+    sample_rate: int = C.AUDIO_SR,
+    fade_out: bool = False,
+    seeds=None,
+    keys=None,
+):
+    """Synthesize many clips in one device program.
+
+    clips: iterable of (clip_audio, clip_words, vid_idx) triples. All
+    clips are padded to one shared window-count bucket (power of two over
+    the longest clip) so the program compiles once per bucket. seeds:
+    optional per-clip (n_pre, D) seed direction vectors (default zeros —
+    the mean pose). keys: optional (B,) array of per-clip PRNG keys
+    (default jax.random.fold_in(rng, i)). Returns a list of (dir_vec
+    (F_i, D), poses (F_i, J, 3)) numpy pairs, one per clip, identical to
+    running synthesize_clip_fused per clip with the same key.
+    """
+    clips = list(clips)
+    if not clips:
+        return []
+    prepped = [
+        prepare_window_inputs(audio, words, lang_model, cfg, sample_rate)
+        for audio, words, _ in clips
+    ]
+    n_windows = [len(a) for a, _, _ in prepped]
+    bucket = 1 << max(2, (max(n_windows) - 1).bit_length())
+    audio_w = np.zeros((len(clips), bucket, prepped[0][0].shape[1]),
+                       np.float32)
+    text_w = np.zeros((len(clips), bucket, cfg.n_poses), np.int64)
+    for i, (a, tx, _) in enumerate(prepped):
+        audio_w[i, : len(a)] = a
+        text_w[i, : len(tx)] = tx
+    if keys is None:
+        if rng is None:
+            rng = jax.random.key(0)
+        keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+            jnp.arange(len(clips))
+        )
+    if seeds is None:
+        seed_arr = jnp.zeros((len(clips), cfg.n_pre_poses, C.POSE_DIM))
+    else:
+        seed_arr = jnp.asarray(
+            np.stack([np.asarray(s[: cfg.n_pre_poses], np.float32)
+                      for s in seeds])
+        )
+    dir_vec_full, poses_full = batched_fn(
+        variables,
+        jnp.asarray(audio_w),
+        jnp.asarray(text_w),
+        jnp.asarray([[vid] for _, _, vid in clips]),
+        seed_arr,
+        keys,
+        jnp.asarray(n_windows, jnp.int32),
+    )
+    dir_vec_full, poses_full = jax.device_get((dir_vec_full, poses_full))
+    stride = cfg.n_poses - cfg.n_pre_poses
+    out = []
+    for i, (_, _, end_padding) in enumerate(prepped):
+        n_real = (n_windows[i] - 1) * stride + cfg.n_poses
+        dv = dir_vec_full[i, :n_real]
+        ps = poses_full[i, :n_real]
+        if fade_out:
+            dv = fade_out_poses(dv.copy(), end_padding, cfg, sample_rate)
+            ps = np.asarray(pose_ops.convert_dir_vec_to_pose(
+                jnp.asarray(dv + cfg.mean_dir_vec_array.reshape(-1))
+            ))
+        out.append((dv, ps))
+    return out
 
 
 def synthesize_clip_fused(

@@ -62,3 +62,38 @@ def test_duration_filter(trainer):
         [0.0, 2.0], check_duration=True, clip_duration_range=(5, 30),
     )
     assert res == (None, None, None)
+
+
+def test_generate_by_dataset_batched_matches_per_clip(trainer, tmp_path):
+    """batched=True must reproduce the per-clip loop: same speaker/rng
+    draw sequence, same synthesis numerics (one vmapped program instead of
+    one scan per clip), same pkl artifacts."""
+    kwargs = dict(
+        data_params={"clip_duration_range": [1, 30]},
+        check_duration=True, randomized=True, fade_out=True,
+        make_video=False, seed=123,
+    )
+    want = clip_eval.generate_gestures_by_dataset(
+        trainer, "ted_db", save_pkl=False, **kwargs
+    )
+    got = clip_eval.generate_gestures_by_dataset(
+        trainer, "ted_db", save_pkl=True, save_path=str(tmp_path),
+        batched=True, **kwargs
+    )
+    assert len(got) == len(want) >= 1
+    for (vid_w, res_w), (vid_g, res_g) in zip(want, got):
+        assert vid_w == vid_g
+        np.testing.assert_allclose(res_g[0], res_w[0], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(res_g[1], res_w[1], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(res_g[2], res_w[2], rtol=1e-4, atol=1e-4)
+    import os
+
+    pkls = [f for f in os.listdir(tmp_path) if f.endswith(".pkl")]
+    assert any("_s2ag" in f for f in pkls) and any("_trimodal" in f for f in pkls)
+
+
+def test_generate_by_dataset_batched_rejects_video(trainer):
+    with pytest.raises(ValueError, match="video"):
+        clip_eval.generate_gestures_by_dataset(
+            trainer, "ted_db", batched=True, make_video=True
+        )

@@ -174,3 +174,56 @@ def test_fused_clip_fn_fade_out(rng):
     )
     assert np.abs(dir_vec[-1]).max() < 1e-6
     assert poses.shape == (len(dir_vec), C.NUM_JOINTS, 3)
+
+
+def test_batched_clip_fn_matches_per_clip_path(rng):
+    """make_batched_clip_fn (the fused program vmapped over clips) must
+    reproduce the per-clip fused path lane by lane — including mixed clip
+    lengths sharing one window bucket, per-clip speakers, and per-clip
+    rng keys (fold_in(rng, i), the documented contract)."""
+    gen, variables = _tiny_generator()
+    lang = Vocab("w")
+    for w in ("hello", "world"):
+        lang.index_word(w)
+    words = [["hello", 0.5, 1.0], ["world", 3.0, 3.5]]
+    clips = []
+    for clip_seconds, vid in ((4.0, 1), (8.0, 3), (13.0, 0)):
+        n_audio = int(clip_seconds * C.AUDIO_SR)
+        audio = (0.3 * np.sin(
+            2 * np.pi * 220 * np.arange(n_audio) / C.AUDIO_SR
+        )).astype(np.float32)
+        clips.append((audio, words, vid))
+
+    key = jax.random.key(7)
+    batched_fn = synthesis.make_batched_clip_fn(gen.apply, CFG)
+    got = synthesis.synthesize_clips_batched(
+        batched_fn, variables, clips, lang, CFG, rng=key
+    )
+    assert len(got) == len(clips)
+
+    clip_fn = synthesis.make_fused_clip_fn(gen.apply, CFG)
+    for i, (audio, cwords, vid) in enumerate(clips):
+        want_dv, want_ps = synthesis.synthesize_clip_fused(
+            clip_fn, variables, audio, cwords, lang, CFG, vid_idx=vid,
+            rng=jax.random.fold_in(key, i),
+        )
+        dv, ps = got[i]
+        assert dv.shape == want_dv.shape, i
+        np.testing.assert_allclose(dv, want_dv, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(ps, want_ps, rtol=1e-5, atol=1e-5)
+
+
+def test_batched_clip_fn_fade_out_and_empty(rng):
+    gen, variables = _tiny_generator()
+    lang = Vocab("w")
+    lang.index_word("x")
+    batched_fn = synthesis.make_batched_clip_fn(gen.apply, CFG)
+    assert synthesis.synthesize_clips_batched(
+        batched_fn, variables, [], lang, CFG) == []
+    audio = rng.standard_normal(int(5.0 * C.AUDIO_SR)).astype(np.float32) * 0.1
+    (dv, ps), = synthesis.synthesize_clips_batched(
+        batched_fn, variables, [(audio, [["x", 0.2, 0.6]], 0)], lang, CFG,
+        rng=jax.random.key(1), fade_out=True,
+    )
+    assert np.abs(dv[-1]).max() < 1e-6
+    assert ps.shape == (len(dv), C.NUM_JOINTS, 3)
