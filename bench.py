@@ -32,6 +32,10 @@ import numpy as np
 
 import jax
 
+from speech2affective_gestures_tpu import compile_cache
+
+compile_cache.enable()  # persistent XLA cache (S2AG_COMPILE_CACHE=0 to off)
+
 from speech2affective_gestures_tpu.config import ModelConfig
 from speech2affective_gestures_tpu.train import builder
 from speech2affective_gestures_tpu.train import timing

@@ -1,0 +1,43 @@
+"""Persistent XLA compilation cache (opt-in).
+
+Full-size GAN train-step programs take minutes to compile on this class of
+host, and every process (bench tools, serve warmup, the driver's entry
+checks) starts cold. JAX can persist compiled executables keyed by HLO so
+later processes reuse them; nothing in the reference corresponds to this —
+it is pure TPU-runtime infrastructure.
+
+Enable by calling `enable()` (the bench tools do, see tools/bench_remat.py)
+or by exporting S2AG_COMPILE_CACHE=/path. S2AG_COMPILE_CACHE=0 disables
+even the tools' default. Cache misses/compiles still work as before if the
+backend does not support executable serialization — JAX logs a warning and
+continues, so this is safe to leave on.
+"""
+
+from __future__ import annotations
+
+import os
+
+DEFAULT_DIR = os.path.expanduser("~/.cache/s2ag_xla_cache")
+
+
+def enable(path: str | None = None) -> str | None:
+    """Turn on the persistent compilation cache; returns the dir or None.
+
+    Precedence: explicit arg > S2AG_COMPILE_CACHE env > DEFAULT_DIR.
+    A value of "0"/"" disables. Must run before the first compilation to
+    help that compilation (later calls still help subsequent ones).
+    """
+    import jax
+
+    if path is None:
+        path = os.environ.get("S2AG_COMPILE_CACHE", DEFAULT_DIR)
+    if not path or path == "0":
+        return None
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache everything that took meaningful time; the default thresholds
+    # (1 s / small-entry skip) drop exactly the programs we care about
+    # re-using when the tunnel makes compiles slow
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    return path

@@ -19,6 +19,10 @@ API (JSON over HTTP):
       }
       -> {"dir_vec": [[27 floats] x F], "poses": [[10][3] x F],
           "frames": F, "elapsed_ms": ...}
+  POST /synthesize_batch  body: {"requests": [<synthesize body>, ...]}
+      -> {"results": [<synthesize response>, ...]} — the whole batch runs
+      as ONE device program (the fused clip program vmapped over clips);
+      elapsed_ms on each result is the batch wall time
 
 Compilation: the window scan is shape-specialized on the window count; the
 service pads window counts up to power-of-two buckets and `warmup` compiles
@@ -66,6 +70,11 @@ class SynthesisService:
         # as ONE device program per window bucket: one dispatch + one fetch
         # per request instead of one per stage (synthesis.make_fused_clip_fn)
         self.clip_fn = synthesis.make_fused_clip_fn(gen.apply, cfg, use_mfcc)
+        # multi-clip program for /synthesize_batch, compiled lazily per
+        # (clip-count bucket, window bucket) pair
+        self.batched_fn = synthesis.make_batched_clip_fn(
+            gen.apply, cfg, use_mfcc
+        )
         self._lock = threading.Lock()
         self._counter = 0
 
@@ -141,6 +150,53 @@ class SynthesisService:
             "elapsed_ms": (time.perf_counter() - t0) * 1e3,
         }
 
+    @staticmethod
+    def _fill_audio(audio, words):
+        if audio is None:
+            end = max((w[2] for w in words), default=1.0) + 0.5
+            return np.zeros(int(end * C.AUDIO_SR), np.float32)
+        return np.asarray(audio, np.float32)
+
+    def synthesize_batch(self, requests) -> list[dict]:
+        """Serve many requests as ONE device program (the fused clip
+        program vmapped over clips — synthesis.make_batched_clip_fn).
+
+        requests: list of dicts {audio, words, vid_idx?, fade_out?}. The
+        clip count is padded to a power-of-two bucket (with minimal dummy
+        clips) so the program compiles once per (B bucket, window bucket);
+        elapsed_ms on each result is the batch wall time.
+        """
+        t0 = time.perf_counter()
+        if not requests:
+            return []
+        clips, fades = [], []
+        for req in requests:
+            words = req.get("words", [])
+            audio = self._fill_audio(req.get("audio"), words)
+            clips.append((audio, words, int(req.get("vid_idx", 0))))
+            fades.append(bool(req.get("fade_out", False)))
+        n_real = len(clips)
+        bucket = 1 << max(0, (n_real - 1).bit_length())
+        unit = self.cfg.n_poses / self.cfg.motion_resampling_framerate
+        dummy = (np.zeros(int(unit * C.AUDIO_SR), np.float32), [], 0)
+        clips += [dummy] * (bucket - n_real)
+        fades += [False] * (bucket - n_real)
+        with self._lock:
+            keys = jnp.stack([
+                jax.random.key(self._counter + 1 + i) for i in range(bucket)
+            ])
+            self._counter += n_real
+            outs = synthesis.synthesize_clips_batched(
+                self.batched_fn, self.variables, clips, self.lang, self.cfg,
+                fade_out=fades, keys=keys,
+            )[:n_real]
+        elapsed = (time.perf_counter() - t0) * 1e3
+        return [
+            {"dir_vec": dv, "poses": ps, "frames": int(len(dv)),
+             "elapsed_ms": elapsed}
+            for dv, ps in outs
+        ]
+
 
 def make_handler(service: SynthesisService):
     class Handler(BaseHTTPRequestHandler):
@@ -165,28 +221,37 @@ def make_handler(service: SynthesisService):
             else:
                 self._send(404, {"error": "unknown path"})
 
+        @staticmethod
+        def _result_payload(result: dict) -> dict:
+            return {
+                "dir_vec": result["dir_vec"].tolist(),
+                "poses": result["poses"].tolist(),
+                "frames": result["frames"],
+                "elapsed_ms": result["elapsed_ms"],
+            }
+
         def do_POST(self):
-            if self.path != "/synthesize":
-                self._send(404, {"error": "unknown path"})
-                return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                raw_audio = req["audio"]
-                audio = (None if raw_audio is None
-                         else np.asarray(raw_audio, np.float32))
-                words = req.get("words", [])
-                result = service.synthesize(
-                    audio, words,
-                    vid_idx=int(req.get("vid_idx", 0)),
-                    fade_out=bool(req.get("fade_out", False)),
-                )
-                self._send(200, {
-                    "dir_vec": result["dir_vec"].tolist(),
-                    "poses": result["poses"].tolist(),
-                    "frames": result["frames"],
-                    "elapsed_ms": result["elapsed_ms"],
-                })
+                if self.path == "/synthesize":
+                    raw_audio = req["audio"]
+                    audio = (None if raw_audio is None
+                             else np.asarray(raw_audio, np.float32))
+                    words = req.get("words", [])
+                    result = service.synthesize(
+                        audio, words,
+                        vid_idx=int(req.get("vid_idx", 0)),
+                        fade_out=bool(req.get("fade_out", False)),
+                    )
+                    self._send(200, self._result_payload(result))
+                elif self.path == "/synthesize_batch":
+                    results = service.synthesize_batch(req["requests"])
+                    self._send(200, {
+                        "results": [self._result_payload(r) for r in results],
+                    })
+                else:
+                    self._send(404, {"error": "unknown path"})
             except (KeyError, ValueError, TypeError) as e:
                 self._send(400, {"error": f"bad request: {e}"})
             except Exception as e:  # noqa: BLE001 — surface as HTTP 500

@@ -378,11 +378,14 @@ def synthesize_clips_batched(
     the mean pose). keys: optional (B,) array of per-clip PRNG keys
     (default jax.random.fold_in(rng, i)). Returns a list of (dir_vec
     (F_i, D), poses (F_i, J, 3)) numpy pairs, one per clip, identical to
-    running synthesize_clip_fused per clip with the same key.
+    running synthesize_clip_fused per clip with the same key. fade_out
+    may be a single bool or one bool per clip.
     """
     clips = list(clips)
     if not clips:
         return []
+    fades = (list(fade_out) if isinstance(fade_out, (list, tuple, np.ndarray))
+             else [fade_out] * len(clips))
     prepped = [
         prepare_window_inputs(audio, words, lang_model, cfg, sample_rate)
         for audio, words, _ in clips
@@ -424,7 +427,7 @@ def synthesize_clips_batched(
         n_real = (n_windows[i] - 1) * stride + cfg.n_poses
         dv = dir_vec_full[i, :n_real]
         ps = poses_full[i, :n_real]
-        if fade_out:
+        if fades[i]:
             dv = fade_out_poses(dv.copy(), end_padding, cfg, sample_rate)
             ps = np.asarray(pose_ops.convert_dir_vec_to_pose(
                 jnp.asarray(dv + cfg.mean_dir_vec_array.reshape(-1))

@@ -188,3 +188,41 @@ def test_load_smoke_no_steadystate_recompiles(service):
         )
     finally:
         service.clip_fn = orig_clip
+
+
+def test_synthesize_batch_roundtrip(server):
+    """/synthesize_batch: N requests -> one vmapped device program; each
+    result matches the shape/finiteness contract of /synthesize, and
+    mixed lengths + null-audio + fade_out coexist in one batch."""
+    audio = (0.2 * np.sin(np.arange(int(4.0 * C.AUDIO_SR)) / 30)).tolist()
+    long_audio = (0.1 * np.sin(np.arange(int(9.0 * C.AUDIO_SR)) / 50)).tolist()
+    status, data = _request(server, "POST", "/synthesize_batch", {
+        "requests": [
+            {"audio": audio, "words": [["hello", 0.2, 0.6]], "vid_idx": 1},
+            {"audio": long_audio, "words": [["world", 1.0, 1.5]],
+             "fade_out": True},
+            {"audio": None, "words": [["x", 0.2, 0.6]]},
+        ],
+    })
+    assert status == 200
+    results = data["results"]
+    assert len(results) == 3
+    lens = []
+    for r in results:
+        out = np.asarray(r["dir_vec"])
+        assert out.shape[1] == C.POSE_DIM
+        assert r["frames"] == len(out)
+        assert np.isfinite(out).all()
+        assert np.asarray(r["poses"]).shape == (len(out), C.NUM_JOINTS, 3)
+        lens.append(len(out))
+    assert lens[1] > lens[0]  # per-clip lengths survive shared bucketing
+    # fade_out lane ends at the mean pose; the others need not
+    assert np.abs(np.asarray(results[1]["dir_vec"])[-1]).max() < 1e-6
+
+
+def test_synthesize_batch_empty_and_bad(server):
+    status, data = _request(server, "POST", "/synthesize_batch",
+                            {"requests": []})
+    assert status == 200 and data["results"] == []
+    status, _ = _request(server, "POST", "/synthesize_batch", {})
+    assert status == 400

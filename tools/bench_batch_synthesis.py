@@ -34,6 +34,10 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
+
+    from speech2affective_gestures_tpu import compile_cache
+
+    compile_cache.enable()
     import numpy as np
 
     from speech2affective_gestures_tpu import constants as C

@@ -38,6 +38,10 @@ def main(argv=None):
     windows = tuple(int(w) for w in args.windows.split(","))
 
     import jax
+
+    from speech2affective_gestures_tpu import compile_cache
+
+    compile_cache.enable()
     import jax.numpy as jnp
     import numpy as np
 
