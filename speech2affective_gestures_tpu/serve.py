@@ -23,6 +23,14 @@ API (JSON over HTTP):
       -> {"results": [<synthesize response>, ...]} — the whole batch runs
       as ONE device program (the fused clip program vmapped over clips);
       elapsed_ms on each result is the batch wall time
+  POST /stream/start      body: {"vid_idx": int?, "seed": int?}
+      -> {"stream_id": ...} — open a live synthesis session
+  POST /stream/feed       body: {"stream_id", "audio": [...], "words": [...]?}
+      -> {"dir_vec": [...frames final so far...], "frames": k}
+  POST /stream/flush      body: {"stream_id", "words": [...]?}
+      -> final frames + closes the session
+      (streaming.StreamingSynthesizer: frames are emitted the moment each
+      34-frame window's audio is complete — live avatars, not just clips)
 
 Compilation: the window scan is shape-specialized on the window count; the
 service pads window counts up to power-of-two buckets and `warmup` compiles
@@ -77,6 +85,9 @@ class SynthesisService:
         )
         self._lock = threading.Lock()
         self._counter = 0
+        # live sessions: one shared compiled window program for all of them
+        self._window_fn = None
+        self._streams: dict = {}
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, variables, lang_model: Vocab,
@@ -197,6 +208,46 @@ class SynthesisService:
             for dv, ps in outs
         ]
 
+    # -------------------------------------------------- live streaming
+
+    def stream_start(self, vid_idx: int = 0, seed: int | None = None) -> str:
+        """Open a live synthesis session (streaming.StreamingSynthesizer).
+        All sessions share ONE compiled window program."""
+        from . import streaming
+
+        with self._lock:
+            if self._window_fn is None:
+                self._window_fn = streaming.make_window_fn(
+                    self.gen.apply, self.cfg, self.use_mfcc
+                )
+            self._counter += 1
+            stream_id = f"s{self._counter:06d}"
+            self._streams[stream_id] = streaming.StreamingSynthesizer(
+                self.gen.apply, self.variables, self.lang, self.cfg,
+                vid_idx=vid_idx, use_mfcc=self.use_mfcc,
+                rng=jax.random.key(self._counter if seed is None else seed),
+                window_fn=self._window_fn,
+            )
+        return stream_id
+
+    def _stream(self, stream_id: str):
+        try:
+            return self._streams[stream_id]
+        except KeyError:
+            raise ValueError(f"unknown stream_id {stream_id!r}") from None
+
+    def stream_feed(self, stream_id: str, audio, words=()) -> np.ndarray:
+        with self._lock:
+            return self._stream(stream_id).feed(
+                np.asarray(audio, np.float32), words
+            )
+
+    def stream_flush(self, stream_id: str, words=()) -> np.ndarray:
+        with self._lock:
+            out = self._stream(stream_id).flush(words)
+            del self._streams[stream_id]
+        return out
+
 
 def make_handler(service: SynthesisService):
     class Handler(BaseHTTPRequestHandler):
@@ -250,6 +301,24 @@ def make_handler(service: SynthesisService):
                     self._send(200, {
                         "results": [self._result_payload(r) for r in results],
                     })
+                elif self.path == "/stream/start":
+                    self._send(200, {"stream_id": service.stream_start(
+                        vid_idx=int(req.get("vid_idx", 0)),
+                        seed=req.get("seed"),
+                    )})
+                elif self.path == "/stream/feed":
+                    out = service.stream_feed(
+                        req["stream_id"], req.get("audio", []),
+                        req.get("words", ()),
+                    )
+                    self._send(200, {"dir_vec": out.tolist(),
+                                     "frames": int(len(out))})
+                elif self.path == "/stream/flush":
+                    out = service.stream_flush(
+                        req["stream_id"], req.get("words", ()),
+                    )
+                    self._send(200, {"dir_vec": out.tolist(),
+                                     "frames": int(len(out))})
                 else:
                     self._send(404, {"error": "unknown path"})
             except (KeyError, ValueError, TypeError) as e:

@@ -226,3 +226,50 @@ def test_synthesize_batch_empty_and_bad(server):
     assert status == 200 and data["results"] == []
     status, _ = _request(server, "POST", "/synthesize_batch", {})
     assert status == 400
+
+
+def test_stream_endpoints_roundtrip(server, service):
+    """Live session over HTTP: start -> feed chunks -> flush equals the
+    offline /synthesize output for the same audio/words/seed."""
+    from speech2affective_gestures_tpu.train import synthesis
+
+    audio = (0.2 * np.sin(np.arange(int(6.0 * C.AUDIO_SR)) / 40)
+             ).astype(np.float32)
+    words = [["hello", 0.3, 0.8]]
+
+    status, data = _request(server, "POST", "/stream/start",
+                            {"vid_idx": 2, "seed": 77})
+    assert status == 200
+    sid = data["stream_id"]
+    frames = []
+    chunk = 50000
+    for i in range(0, len(audio), chunk):
+        body = {"stream_id": sid, "audio": audio[i:i + chunk].tolist()}
+        if i == 0:
+            body["words"] = words
+        status, data = _request(server, "POST", "/stream/feed", body)
+        assert status == 200
+        frames.extend(data["dir_vec"])
+    status, data = _request(server, "POST", "/stream/flush",
+                            {"stream_id": sid})
+    assert status == 200
+    frames.extend(data["dir_vec"])
+    got = np.asarray(frames, np.float32)
+
+    want = synthesis.synthesize_clip(
+        service.gen.apply, service.variables, audio, words,
+        service.lang, service.cfg, vid_idx=2,
+        rng=__import__("jax").random.key(77),
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # session is closed
+    status, _ = _request(server, "POST", "/stream/feed",
+                         {"stream_id": sid, "audio": []})
+    assert status == 400
+
+
+def test_stream_unknown_id_400(server):
+    status, data = _request(server, "POST", "/stream/feed",
+                            {"stream_id": "nope", "audio": []})
+    assert status == 400
