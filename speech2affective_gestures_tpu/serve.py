@@ -88,6 +88,35 @@ class SynthesisService:
         # live sessions: one shared compiled window program for all of them
         self._window_fn = None
         self._streams: dict = {}
+        # request metrics: per-endpoint latency aggregates (/metrics)
+        self._metrics: dict = {}
+
+    def _record(self, endpoint: str, elapsed_ms: float, clips: int = 1):
+        m = self._metrics.setdefault(endpoint, {
+            "requests": 0, "clips": 0, "total_ms": 0.0,
+            "max_ms": 0.0, "recent_ms": [],
+        })
+        m["requests"] += 1
+        m["clips"] += clips
+        m["total_ms"] += elapsed_ms
+        m["max_ms"] = max(m["max_ms"], elapsed_ms)
+        m["recent_ms"].append(round(elapsed_ms, 2))
+        del m["recent_ms"][:-64]  # keep a bounded window for percentiles
+
+    def metrics(self) -> dict:
+        out = {}
+        for endpoint, m in self._metrics.items():
+            recent = sorted(m["recent_ms"])
+            out[endpoint] = {
+                "requests": m["requests"],
+                "clips": m["clips"],
+                "mean_ms": round(m["total_ms"] / max(m["requests"], 1), 2),
+                "max_ms": round(m["max_ms"], 2),
+                "p50_ms": recent[len(recent) // 2] if recent else None,
+                "p90_ms": recent[int(len(recent) * 0.9)] if recent else None,
+            }
+        out["active_streams"] = len(self._streams)
+        return out
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, variables, lang_model: Vocab,
@@ -154,11 +183,13 @@ class SynthesisService:
                 self.clip_fn, self.variables, audio, words, self.lang,
                 self.cfg, vid_idx=vid_idx, rng=rng, fade_out=fade_out,
             )
+        elapsed = (time.perf_counter() - t0) * 1e3
+        self._record("synthesize", elapsed)
         return {
             "dir_vec": dir_vec,
             "poses": poses,
             "frames": int(len(dir_vec)),
-            "elapsed_ms": (time.perf_counter() - t0) * 1e3,
+            "elapsed_ms": elapsed,
         }
 
     @staticmethod
@@ -202,6 +233,7 @@ class SynthesisService:
                 fade_out=fades, keys=keys,
             )[:n_real]
         elapsed = (time.perf_counter() - t0) * 1e3
+        self._record("synthesize_batch", elapsed, clips=n_real)
         return [
             {"dir_vec": dv, "poses": ps, "frames": int(len(dv)),
              "elapsed_ms": elapsed}
@@ -237,15 +269,20 @@ class SynthesisService:
             raise ValueError(f"unknown stream_id {stream_id!r}") from None
 
     def stream_feed(self, stream_id: str, audio, words=()) -> np.ndarray:
+        t0 = time.perf_counter()
         with self._lock:
-            return self._stream(stream_id).feed(
+            out = self._stream(stream_id).feed(
                 np.asarray(audio, np.float32), words
             )
+            self._record("stream_feed", (time.perf_counter() - t0) * 1e3)
+        return out
 
     def stream_flush(self, stream_id: str, words=()) -> np.ndarray:
+        t0 = time.perf_counter()
         with self._lock:
             out = self._stream(stream_id).flush(words)
             del self._streams[stream_id]
+            self._record("stream_flush", (time.perf_counter() - t0) * 1e3)
         return out
 
 
@@ -263,7 +300,9 @@ def make_handler(service: SynthesisService):
             self.wfile.write(blob)
 
         def do_GET(self):
-            if self.path == "/healthz":
+            if self.path == "/metrics":
+                self._send(200, service.metrics())
+            elif self.path == "/healthz":
                 self._send(200, {
                     "status": "ok",
                     "backend": jax.default_backend(),

@@ -273,3 +273,14 @@ def test_stream_unknown_id_400(server):
     status, data = _request(server, "POST", "/stream/feed",
                             {"stream_id": "nope", "audio": []})
     assert status == 400
+
+
+def test_metrics_endpoint(server):
+    status, data = _request(server, "GET", "/metrics")
+    assert status == 200
+    # earlier tests in this module exercised every endpoint family
+    assert data["synthesize"]["requests"] >= 1
+    assert data["synthesize"]["p50_ms"] > 0
+    assert data["synthesize_batch"]["clips"] >= 3
+    assert data["stream_feed"]["requests"] >= 1
+    assert data["active_streams"] == 0
