@@ -334,9 +334,15 @@ def _fused_clip_body(gen_apply, cfg: ModelConfig, use_mfcc: bool = True):
     return fused
 
 
-def make_batched_clip_fn(gen_apply, cfg: ModelConfig, use_mfcc: bool = True):
+def make_batched_clip_fn(gen_apply, cfg: ModelConfig, use_mfcc: bool = True,
+                         mesh=None, data_axis: str = "data"):
     """Compile MULTI-CLIP fused synthesis: the single-clip fused program
     vmapped over a leading clip axis B, one jitted program for the batch.
+
+    With `mesh`, the clip axis is sharded over the mesh's `data_axis`
+    (variables replicated) — dataset-wide synthesis scales over chips the
+    same way the train step does; callers must make B divisible by the
+    axis size (synthesize_clips_batched pads when given the same mesh).
 
     The per-clip paths (synthesize_clip / synthesize_clip_fused) run the
     autoregressive window scan at generator batch 1 — B clips cost B*S
@@ -354,7 +360,18 @@ def make_batched_clip_fn(gen_apply, cfg: ModelConfig, use_mfcc: bool = True):
     lane), up to batched-matmul reduction-order effects.
     """
     body = _fused_clip_body(gen_apply, cfg, use_mfcc)
-    return jax.jit(jax.vmap(body, in_axes=(None, 0, 0, 0, 0, 0, 0)))
+    fn = jax.vmap(body, in_axes=(None, 0, 0, 0, 0, 0, 0))
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = NamedSharding(mesh, P(data_axis))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        fn,
+        in_shardings=(rep,) + (shard,) * 6,
+        out_shardings=(shard, shard),
+    )
 
 
 def synthesize_clips_batched(
@@ -368,6 +385,7 @@ def synthesize_clips_batched(
     fade_out: bool = False,
     seeds=None,
     keys=None,
+    pad_to: int | None = None,
 ):
     """Synthesize many clips in one device program.
 
@@ -379,22 +397,26 @@ def synthesize_clips_batched(
     (default jax.random.fold_in(rng, i)). Returns a list of (dir_vec
     (F_i, D), poses (F_i, J, 3)) numpy pairs, one per clip, identical to
     running synthesize_clip_fused per clip with the same key. fade_out
-    may be a single bool or one bool per clip.
+    may be a single bool or one bool per clip. pad_to: pad the clip axis
+    to a multiple (dummy lanes, results dropped) — required when
+    batched_fn shards clips over a mesh axis of that size.
     """
     clips = list(clips)
     if not clips:
         return []
     fades = (list(fade_out) if isinstance(fade_out, (list, tuple, np.ndarray))
              else [fade_out] * len(clips))
+    n_clips = len(clips)
+    n_pad = (-n_clips) % pad_to if pad_to else 0
     prepped = [
         prepare_window_inputs(audio, words, lang_model, cfg, sample_rate)
         for audio, words, _ in clips
     ]
     n_windows = [len(a) for a, _, _ in prepped]
     bucket = 1 << max(2, (max(n_windows) - 1).bit_length())
-    audio_w = np.zeros((len(clips), bucket, prepped[0][0].shape[1]),
+    audio_w = np.zeros((n_clips + n_pad, bucket, prepped[0][0].shape[1]),
                        np.float32)
-    text_w = np.zeros((len(clips), bucket, cfg.n_poses), np.int64)
+    text_w = np.zeros((n_clips + n_pad, bucket, cfg.n_poses), np.int64)
     for i, (a, tx, _) in enumerate(prepped):
         audio_w[i, : len(a)] = a
         text_w[i, : len(tx)] = tx
@@ -402,23 +424,31 @@ def synthesize_clips_batched(
         if rng is None:
             rng = jax.random.key(0)
         keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
-            jnp.arange(len(clips))
+            jnp.arange(n_clips)
+        )
+    if n_pad:
+        keys = jnp.concatenate(
+            [jnp.asarray(keys),
+             jnp.stack([jax.random.key(0)] * n_pad)]
         )
     if seeds is None:
-        seed_arr = jnp.zeros((len(clips), cfg.n_pre_poses, C.POSE_DIM))
+        seed_arr = jnp.zeros((n_clips + n_pad, cfg.n_pre_poses, C.POSE_DIM))
     else:
-        seed_arr = jnp.asarray(
+        seed_arr = jnp.asarray(np.concatenate([
             np.stack([np.asarray(s[: cfg.n_pre_poses], np.float32)
-                      for s in seeds])
-        )
+                      for s in seeds]),
+            np.zeros((n_pad, cfg.n_pre_poses, C.POSE_DIM), np.float32),
+        ]) if n_pad else np.stack(
+            [np.asarray(s[: cfg.n_pre_poses], np.float32) for s in seeds]
+        ))
     dir_vec_full, poses_full = batched_fn(
         variables,
         jnp.asarray(audio_w),
         jnp.asarray(text_w),
-        jnp.asarray([[vid] for _, _, vid in clips]),
+        jnp.asarray([[vid] for _, _, vid in clips] + [[0]] * n_pad),
         seed_arr,
         keys,
-        jnp.asarray(n_windows, jnp.int32),
+        jnp.asarray(n_windows + [1] * n_pad, jnp.int32),
     )
     dir_vec_full, poses_full = jax.device_get((dir_vec_full, poses_full))
     stride = cfg.n_poses - cfg.n_pre_poses

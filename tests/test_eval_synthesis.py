@@ -227,3 +227,34 @@ def test_batched_clip_fn_fade_out_and_empty(rng):
     )
     assert np.abs(dv[-1]).max() < 1e-6
     assert ps.shape == (len(dv), C.NUM_JOINTS, 3)
+
+
+def test_batched_clip_fn_sharded_over_mesh(rng, mesh8):
+    """make_batched_clip_fn(mesh=...) shards the clip axis over the data
+    mesh axis (variables replicated) and must match the unsharded program
+    lane for lane, with pad_to filling the batch to the axis size."""
+    gen, variables = _tiny_generator()
+    lang = Vocab("w")
+    lang.index_word("hello")
+    words = [["hello", 0.5, 1.0]]
+    clips = []
+    for i, sec in enumerate((4.0, 8.0, 6.0)):  # 3 clips -> padded to 8
+        n_audio = int(sec * C.AUDIO_SR)
+        audio = (0.2 * np.sin(
+            2 * np.pi * (200 + 10 * i) * np.arange(n_audio) / C.AUDIO_SR
+        )).astype(np.float32)
+        clips.append((audio, words, i))
+
+    key = jax.random.key(11)
+    plain = synthesis.synthesize_clips_batched(
+        synthesis.make_batched_clip_fn(gen.apply, CFG), variables,
+        clips, lang, CFG, rng=key,
+    )
+    sharded = synthesis.synthesize_clips_batched(
+        synthesis.make_batched_clip_fn(gen.apply, CFG, mesh=mesh8),
+        variables, clips, lang, CFG, rng=key, pad_to=8,
+    )
+    assert len(sharded) == len(plain) == 3
+    for (dv_p, ps_p), (dv_s, ps_s) in zip(plain, sharded):
+        np.testing.assert_allclose(dv_s, dv_p, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(ps_s, ps_p, rtol=1e-5, atol=1e-5)
