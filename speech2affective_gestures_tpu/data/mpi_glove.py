@@ -181,7 +181,20 @@ def _read_tag_file(path: str) -> list[str]:
 def load_data_with_glove(_path: str, dataset: str, embedding_src: str,
                          frame_drop: int = 1, add_mirrored: bool = False):
     """Working equivalent of loader_v2.load_data_with_glove (:707-819)
-    for dataset='mpi'; same npz cache contract and return tuple."""
+    for dataset='mpi'; same npz cache contract and return tuple.
+
+    add_mirrored is accepted for signature parity but ignored — the
+    reference declares it (loader_v2.py:707) and never reads it in the
+    body either; we warn instead of silently dropping the request."""
+    if add_mirrored:
+        import warnings
+
+        warnings.warn(
+            "add_mirrored=True is a no-op: the reference's "
+            "load_data_with_glove declares but never implements it "
+            "(loader_v2.py:707); no mirrored copies are added",
+            stacklevel=2,
+        )
     data_path = j(_path, dataset)
     cache = j(data_path, f"data_dict_glove_drop_{frame_drop}.npz")
     if os.path.exists(cache):

@@ -509,8 +509,24 @@ class GRU(nn.Module):
                 )  # (T, B, D*P), pad lanes zero
                 fins.extend(h_last[d] for d in range(num_dir))
                 if self.dropout > 0.0 and layer < self.num_layers - 1:
-                    ys = nn.Dropout(rate=self.dropout)(
-                        ys, deterministic=deterministic
+                    # draw the mask on the UNPADDED (T, B, D*H) tensor so
+                    # the rng consumption (and thus the trajectory) is
+                    # identical to the scan engine, then restore the
+                    # padded layout the next layer's kernel consumes
+                    # (pad lanes stay zero). Only this train-with-dropout
+                    # path pays the pad/unpad glue.
+                    ys_real = jnp.concatenate(
+                        [ys[:, :, d * P:d * P + hsz] for d in range(num_dir)],
+                        axis=-1,
+                    )
+                    ys_real = nn.Dropout(rate=self.dropout)(
+                        ys_real, deterministic=deterministic
+                    )
+                    pad = jnp.zeros(ys.shape[:2] + (P - hsz,), ys.dtype)
+                    ys = jnp.concatenate(
+                        [p for d in range(num_dir)
+                         for p in (ys_real[:, :, d * hsz:(d + 1) * hsz], pad)],
+                        axis=-1,
                     )
                 src = ys
             outs = [src[:, :, d * P:d * P + hsz] for d in range(num_dir)]

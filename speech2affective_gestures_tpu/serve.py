@@ -88,33 +88,47 @@ class SynthesisService:
         # live sessions: one shared compiled window program for all of them
         self._window_fn = None
         self._streams: dict = {}
-        # request metrics: per-endpoint latency aggregates (/metrics)
+        self._stream_last_used: dict = {}
+        self.stream_idle_ttl = 600.0  # s; idle sessions pruned lazily
+        self.max_streams = 256
+        # request metrics: per-endpoint latency aggregates (/metrics);
+        # own lock — _record is called from ThreadingHTTPServer threads
+        # and metrics() must not iterate a dict another thread grows
         self._metrics: dict = {}
+        self._metrics_lock = threading.Lock()
 
     def _record(self, endpoint: str, elapsed_ms: float, clips: int = 1):
-        m = self._metrics.setdefault(endpoint, {
-            "requests": 0, "clips": 0, "total_ms": 0.0,
-            "max_ms": 0.0, "recent_ms": [],
-        })
-        m["requests"] += 1
-        m["clips"] += clips
-        m["total_ms"] += elapsed_ms
-        m["max_ms"] = max(m["max_ms"], elapsed_ms)
-        m["recent_ms"].append(round(elapsed_ms, 2))
-        del m["recent_ms"][:-64]  # keep a bounded window for percentiles
+        with self._metrics_lock:
+            m = self._metrics.setdefault(endpoint, {
+                "requests": 0, "clips": 0, "total_ms": 0.0,
+                "max_ms": 0.0, "recent_ms": [],
+            })
+            m["requests"] += 1
+            m["clips"] += clips
+            m["total_ms"] += elapsed_ms
+            m["max_ms"] = max(m["max_ms"], elapsed_ms)
+            m["recent_ms"].append(round(elapsed_ms, 2))
+            del m["recent_ms"][:-64]  # bounded window for percentiles
+
+    def reset_metrics(self):
+        """Drop accumulated aggregates (warmup() calls this so compile
+        latencies never pollute the steady-state numbers)."""
+        with self._metrics_lock:
+            self._metrics.clear()
 
     def metrics(self) -> dict:
         out = {}
-        for endpoint, m in self._metrics.items():
-            recent = sorted(m["recent_ms"])
-            out[endpoint] = {
-                "requests": m["requests"],
-                "clips": m["clips"],
-                "mean_ms": round(m["total_ms"] / max(m["requests"], 1), 2),
-                "max_ms": round(m["max_ms"], 2),
-                "p50_ms": recent[len(recent) // 2] if recent else None,
-                "p90_ms": recent[int(len(recent) * 0.9)] if recent else None,
-            }
+        with self._metrics_lock:
+            for endpoint, m in self._metrics.items():
+                recent = sorted(m["recent_ms"])
+                out[endpoint] = {
+                    "requests": m["requests"],
+                    "clips": m["clips"],
+                    "mean_ms": round(m["total_ms"] / max(m["requests"], 1), 2),
+                    "max_ms": round(m["max_ms"], 2),
+                    "p50_ms": recent[len(recent) // 2] if recent else None,
+                    "p90_ms": recent[int(len(recent) * 0.9)] if recent else None,
+                }
         out["active_streams"] = len(self._streams)
         return out
 
@@ -155,6 +169,7 @@ class SynthesisService:
         if stride <= 0:  # n_pre_poses >= n_poses: single-window clips only
             audio = np.zeros(int(unit * C.AUDIO_SR), np.float32)
             self.synthesize(audio, words)
+            self.reset_metrics()
             return
         bucket = 4
         while True:
@@ -167,15 +182,13 @@ class SynthesisService:
             if length >= max_len:
                 break
             bucket *= 2
+        # compile latencies are not request latencies
+        self.reset_metrics()
 
     def synthesize(self, audio: np.ndarray | None, words, vid_idx: int = 0,
                    fade_out: bool = False) -> dict:
         t0 = time.perf_counter()
-        if audio is None:
-            # documented null-audio mode: silence covering the words
-            end = max((w[2] for w in words), default=1.0) + 0.5
-            audio = np.zeros(int(end * C.AUDIO_SR), np.float32)
-        audio = np.asarray(audio, np.float32)
+        audio = self._fill_audio(audio, words)
         with self._lock:
             self._counter += 1
             rng = jax.random.key(self._counter)
@@ -248,6 +261,12 @@ class SynthesisService:
         from . import streaming
 
         with self._lock:
+            self._prune_streams()
+            if len(self._streams) >= self.max_streams:
+                raise ValueError(
+                    f"too many open streams ({self.max_streams}); flush "
+                    "or let idle sessions expire"
+                )
             if self._window_fn is None:
                 self._window_fn = streaming.make_window_fn(
                     self.gen.apply, self.cfg, self.use_mfcc
@@ -260,21 +279,35 @@ class SynthesisService:
                 rng=jax.random.key(self._counter if seed is None else seed),
                 window_fn=self._window_fn,
             )
+            self._stream_last_used[stream_id] = time.monotonic()
         return stream_id
+
+    def _prune_streams(self):
+        """Drop sessions idle past stream_idle_ttl (clients that opened a
+        stream and vanished without /stream/flush would otherwise leak
+        their growing audio buffers forever). Caller holds self._lock."""
+        cutoff = time.monotonic() - self.stream_idle_ttl
+        for sid in [sid for sid, ts in self._stream_last_used.items()
+                    if ts < cutoff]:
+            self._streams.pop(sid, None)
+            self._stream_last_used.pop(sid, None)
 
     def _stream(self, stream_id: str):
         try:
-            return self._streams[stream_id]
+            stream = self._streams[stream_id]
         except KeyError:
             raise ValueError(f"unknown stream_id {stream_id!r}") from None
+        self._stream_last_used[stream_id] = time.monotonic()
+        return stream
 
     def stream_feed(self, stream_id: str, audio, words=()) -> np.ndarray:
         t0 = time.perf_counter()
         with self._lock:
+            self._prune_streams()
             out = self._stream(stream_id).feed(
                 np.asarray(audio, np.float32), words
             )
-            self._record("stream_feed", (time.perf_counter() - t0) * 1e3)
+        self._record("stream_feed", (time.perf_counter() - t0) * 1e3)
         return out
 
     def stream_flush(self, stream_id: str, words=()) -> np.ndarray:
@@ -282,7 +315,8 @@ class SynthesisService:
         with self._lock:
             out = self._stream(stream_id).flush(words)
             del self._streams[stream_id]
-            self._record("stream_flush", (time.perf_counter() - t0) * 1e3)
+            self._stream_last_used.pop(stream_id, None)
+        self._record("stream_flush", (time.perf_counter() - t0) * 1e3)
         return out
 
 

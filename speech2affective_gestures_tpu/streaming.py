@@ -148,11 +148,9 @@ class StreamingSynthesizer:
         n_pre = self.cfg.n_pre_poses
         out = raw.copy()
         if self._prev_raw is not None:
-            j = np.arange(n_pre, dtype=out.dtype)
-            w_prev = ((n_pre - j) / (n_pre + 1))[:, None]
-            w_next = ((j + 1) / (n_pre + 1))[:, None]
-            out[:n_pre] = (self._prev_raw[-n_pre:] * w_prev
-                           + raw[:n_pre] * w_next)
+            w_prev, w_next = synthesis.crossfade_weights(n_pre, out.dtype)
+            out[:n_pre] = (self._prev_raw[-n_pre:] * w_prev[:, None]
+                           + raw[:n_pre] * w_next[:, None])
         self._prev_raw = raw
         return out if final else out[: len(out) - n_pre]
 

@@ -118,6 +118,16 @@ def make_window_scan(gen_apply, cfg: ModelConfig, use_mfcc: bool = True):
     return scan_fn
 
 
+def crossfade_weights(n_pre: int, dtype=np.float32):
+    """The reference's linear seam ramp (processor_v2.py:1302-1331): frame
+    j of a window's first n_pre frames mixes the previous window's raw
+    tail with weight (n_pre-j)/(n_pre+1) and its own output with
+    (j+1)/(n_pre+1). Single source of truth for the three consumers
+    (crossfade_windows, the fused clip program, StreamingSynthesizer)."""
+    j = np.arange(n_pre, dtype=dtype)
+    return (n_pre - j) / (n_pre + 1), (j + 1) / (n_pre + 1)
+
+
 def crossfade_windows(outs: np.ndarray, n_pre: int) -> np.ndarray:
     """Blend + assemble raw window outputs (ref processor_v2.py:1302-1331).
 
@@ -129,9 +139,8 @@ def crossfade_windows(outs: np.ndarray, n_pre: int) -> np.ndarray:
     if s == 1:
         return outs[0].copy()
     blended = outs.copy()
-    j = np.arange(n_pre, dtype=outs.dtype)
-    w_prev = ((n_pre - j) / (n_pre + 1))[None, :, None]
-    w_next = ((j + 1) / (n_pre + 1))[None, :, None]
+    w_prev, w_next = crossfade_weights(n_pre, outs.dtype)
+    w_prev, w_next = w_prev[None, :, None], w_next[None, :, None]
     blended[1:, :n_pre] = outs[:-1, -n_pre:] * w_prev + outs[1:, :n_pre] * w_next
     pieces = [blended[i, : t - n_pre] for i in range(s - 1)] + [blended[-1]]
     return np.concatenate(pieces, axis=0)
@@ -309,9 +318,9 @@ def _fused_clip_body(gen_apply, cfg: ModelConfig, use_mfcc: bool = True):
         # linear crossfade of each window's first n_pre frames with the
         # previous window's last n_pre raw frames (crossfade_windows above,
         # ref processor_v2.py:1302-1331)
-        j = jnp.arange(n_pre, dtype=outs.dtype)
-        w_prev = ((n_pre - j) / (n_pre + 1))[:, None]
-        w_next = ((j + 1) / (n_pre + 1))[:, None]
+        wp, wn = crossfade_weights(n_pre)
+        w_prev = jnp.asarray(wp, outs.dtype)[:, None]
+        w_next = jnp.asarray(wn, outs.dtype)[:, None]
         if s > 1:
             blended_head = outs[:-1, -n_pre:] * w_prev + outs[1:, :n_pre] * w_next
             blended = outs.at[1:, :n_pre].set(blended_head)

@@ -226,6 +226,54 @@ def train_t2g(data_dict: dict, word2idx: dict, embedding_table: np.ndarray,
 # autoregressive synthesis
 # --------------------------------------------------------------------------
 
+# jitted decode programs cached per T2GNet instance (flax Modules are not
+# hashable — list-typed fields — so neither static_argnums nor a
+# WeakKeyDictionary works; key by id with weakref cleanup) and per
+# n_frames; params flow in as a traced pytree, not baked constants, so
+# repeated generation (validation epochs, serving) never re-traces
+_DECODE_CACHE: dict = {}  # id(net) -> {n_frames: jitted fn}
+
+
+def _get_decoder(net: T2GNet, n_frames: int):
+    import weakref
+
+    key = id(net)
+    per_net = _DECODE_CACHE.get(key)
+    if per_net is None:
+        per_net = _DECODE_CACHE[key] = {}
+        try:
+            weakref.finalize(net, _DECODE_CACHE.pop, key, None)
+        except TypeError:
+            pass  # not weakref-able: entry lives for the process
+    if n_frames not in per_net:
+        t_max = net.max_time_steps
+
+        @jax.jit
+        def run(params, text, tags, offset_lengths):
+            b = text.shape[0]
+            d = params["text_offsets_to_gestures"]["kernel"].shape[-1]
+            start = jnp.tile(jnp.asarray(IDENTITY_QUAT), (d // 4,))
+            buf = jnp.broadcast_to(start, (b, t_max, d))
+
+            def body(t, carry):
+                buf, out = carry
+                pred, _ = net.apply({"params": params}, text, tags, buf,
+                                    offset_lengths, train=False)
+                frame = jax.lax.dynamic_slice_in_dim(pred, t, 1, axis=1)
+                out = jax.lax.dynamic_update_slice_in_dim(
+                    out, frame, t, axis=1)
+                buf = jax.lax.dynamic_update_slice_in_dim(
+                    buf, frame, jnp.minimum(t + 1, t_max - 1), axis=1)
+                return buf, out
+
+            _, out = jax.lax.fori_loop(
+                0, n_frames, body, (buf, jnp.zeros((b, t_max, d))))
+            return out
+
+        per_net[n_frames] = run
+    return per_net[n_frames]
+
+
 def generate_quat_sequence(net: T2GNet, params, text, tags, offset_lengths,
                            n_frames: int | None = None) -> np.ndarray:
     """Greedy autoregressive decode: ONE jitted program running a
@@ -235,29 +283,9 @@ def generate_quat_sequence(net: T2GNet, params, text, tags, offset_lengths,
     per quaternion channel group."""
     t_max = net.max_time_steps
     n_frames = t_max if n_frames is None else min(int(n_frames), t_max)
-    b = text.shape[0]
-    d = params["text_offsets_to_gestures"]["kernel"].shape[-1]
-
-    @jax.jit
-    def run(text, tags, offset_lengths):
-        start = jnp.tile(jnp.asarray(IDENTITY_QUAT), (d // 4,))
-        buf = jnp.broadcast_to(start, (b, t_max, d))
-
-        def body(t, carry):
-            buf, out = carry
-            pred, _ = net.apply({"params": params}, text, tags, buf,
-                                offset_lengths, train=False)
-            frame = jax.lax.dynamic_slice_in_dim(pred, t, 1, axis=1)
-            out = jax.lax.dynamic_update_slice_in_dim(out, frame, t, axis=1)
-            buf = jax.lax.dynamic_update_slice_in_dim(
-                buf, frame, jnp.minimum(t + 1, t_max - 1), axis=1)
-            return buf, out
-
-        _, out = jax.lax.fori_loop(
-            0, n_frames, body, (buf, jnp.zeros((b, t_max, d))))
-        return out
-
-    out = np.asarray(run(jnp.asarray(text),
-                         [jnp.asarray(t) for t in tags],
-                         jnp.asarray(offset_lengths)))
+    run = _get_decoder(net, n_frames)
+    out = np.asarray(run(
+        params, jnp.asarray(text), [jnp.asarray(t) for t in tags],
+        jnp.asarray(offset_lengths),
+    ))
     return out[:, :n_frames]

@@ -335,3 +335,31 @@ def test_v2_bf16_storage_f32_accumulation(rng):
     assert y16.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(y16, np.float32), np.asarray(y32),
                                rtol=0.05, atol=0.05)
+
+
+def test_v2_stack_dropout_matches_scan_engine(rng, monkeypatch):
+    """With inter-layer dropout ACTIVE, the pallas engine must consume the
+    dropout rng exactly like the scan engine (masks drawn on the unpadded
+    (T, B, D*H) tensor, same Dropout call order) — same seed, same
+    trajectory. Regression: masks were drawn on the padded D*P tensor,
+    silently desynchronizing the engines whenever dropout > 0."""
+    monkeypatch.setenv("S2AG_GRU_PALLAS_INTERPRET", "1")
+    from speech2affective_gestures_tpu.models import layers as L
+
+    x = jnp.asarray(rng.standard_normal((4, 3, 9)).astype(np.float32))
+
+    def run(engine):
+        monkeypatch.setenv("S2AG_GRU_ENGINE", engine)
+        gru = L.GRU(hidden_size=10, num_layers=3, bidirectional=True,
+                    dropout=0.5)
+        vs = gru.init(jax.random.key(0), x)
+        out, finals = gru.apply(
+            vs, x, deterministic=False,
+            rngs={"dropout": jax.random.key(7)},
+        )
+        return np.asarray(out), np.asarray(finals)
+
+    o_s, f_s = run("scan")
+    o_p, f_p = run("pallas")
+    np.testing.assert_allclose(o_p, o_s, rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(f_p, f_s, rtol=3e-5, atol=3e-6)

@@ -39,6 +39,12 @@ def main(argv=None):
 
     import jax
 
+    # honor JAX_PLATFORMS=cpu even though the axon sitecustomize
+    # froze the platform default at interpreter start (same trick
+    # as tests/conftest.py / __graft_entry__.dryrun_multichip)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     from speech2affective_gestures_tpu import compile_cache
 
     compile_cache.enable()
