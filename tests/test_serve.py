@@ -284,3 +284,20 @@ def test_metrics_endpoint(server):
     assert data["synthesize_batch"]["clips"] >= 3
     assert data["stream_feed"]["requests"] >= 1
     assert data["active_streams"] == 0
+
+
+def test_stream_prune_and_cap(service):
+    ttl, cap = service.stream_idle_ttl, service.max_streams
+    try:
+        sid = service.stream_start()
+        service.stream_idle_ttl = 0.0  # everything is now "idle"
+        sid2 = service.stream_start()  # start prunes stale sessions
+        assert sid not in service._streams
+        service.stream_idle_ttl = 600.0
+        service.max_streams = 1
+        with pytest.raises(ValueError, match="too many open streams"):
+            service.stream_start()
+    finally:
+        service.stream_idle_ttl, service.max_streams = ttl, cap
+        service._streams.clear()
+        service._stream_last_used.clear()
