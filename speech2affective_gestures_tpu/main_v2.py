@@ -95,6 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "pass (trajectory-preserving: identical values and "
                         "gradients; trades recompute FLOPs for HBM "
                         "activation traffic — see docs/PERFORMANCE.md)")
+    p.add_argument("--metrics-lag", type=int, default=2,
+                   help="device metrics may stay un-fetched for this many "
+                        "steps so host dispatch runs ahead of the "
+                        "per-step device->host sync (pure scheduling — "
+                        "identical logged numbers; 0 = fetch every step)")
     p.add_argument("--trimodal-metric-interval", type=int, default=1,
                    help="compute the frozen-trimodal comparison metric "
                         "every K-th train step (1 = every step = reference "
@@ -232,6 +237,7 @@ def main(argv=None, variant: str = "s2ag"):
         divreg_draw=args.divreg_draw,
         fused_pass=args.fused_pass,
         remat=args.remat,
+        metrics_lag=args.metrics_lag,
     )
     trainer.logger.save_arg(vars(args))
     if not args.apply_lr_decay:

@@ -22,6 +22,7 @@ import logging
 import os
 import re
 import time
+from collections import deque
 from typing import Any
 
 import jax
@@ -94,6 +95,7 @@ class Trainer:
         divreg_draw: str = "permutation",
         fused_pass: bool = False,
         remat: str = "none",
+        metrics_lag: int = 2,
     ):
         self.cfg = cfg
         self.work_dir = work_dir
@@ -111,6 +113,15 @@ class Trainer:
         # every step = reference parity, processor_v2.py:821; the forward
         # is metric-only and costs ~8% of the step, tools/profile_step.py)
         self.trimodal_metric_interval = max(1, trimodal_metric_interval)
+        # how many steps of device metrics may stay un-fetched: each
+        # float(metrics[...]) is a device->host sync, and over the tunnel
+        # the RTT (~30 ms) can exceed the step itself — fetching every
+        # step serializes host dispatch against device compute. A small
+        # lag lets dispatch run ahead; 0 restores fully synchronous
+        # behavior. Pure host scheduling: the numbers logged/accumulated
+        # are identical, and check_finite still halts (up to `lag` steps
+        # after the offending iteration, which the error names).
+        self.metrics_lag = max(0, metrics_lag)
 
         ref = train_data or val_data or test_data
         n_words = ref.lang_model.n_words if ref and ref.lang_model else 1000
@@ -242,11 +253,10 @@ class Trainer:
         start = time.time()
         tri_every = self.trimodal_metric_interval
         total_l1, n_l1 = 0.0, 0
-        for i, batch in self._epoch_batches(max_iters):
-            self.state, metrics = self.train_step(
-                self.state, self._put(batch), self._next_rng(), gan_on=gan_on,
-                tri_metric=(tri_every == 1 or i % tri_every == 0),
-            )
+
+        def consume(i, metrics):
+            # first touch of the step's metrics = the device->host sync
+            nonlocal total, n, total_l1, n_l1
             if self.check_finite and not np.isfinite(float(metrics["s2ag_l1"])):
                 bad = {k: float(v) for k, v in metrics.items()}
                 raise FloatingPointError(
@@ -265,6 +275,18 @@ class Trainer:
                     f"{k}: {float(v):.4f}" for k, v in metrics.items()
                 )
                 self.logger.print_log(f"\tIter {i} Done. | {line}")
+
+        pending: deque = deque()
+        for i, batch in self._epoch_batches(max_iters):
+            self.state, metrics = self.train_step(
+                self.state, self._put(batch), self._next_rng(), gan_on=gan_on,
+                tri_metric=(tri_every == 1 or i % tri_every == 0),
+            )
+            pending.append((i, metrics))
+            if len(pending) > self.metrics_lag:
+                consume(*pending.popleft())
+        while pending:
+            consume(*pending.popleft())
         if n == 0:  # no trimodal comparator anywhere this epoch
             total, n = total_l1, n_l1
         self.logger.print_log(
