@@ -189,13 +189,13 @@ class SynthesisService:
                    fade_out: bool = False) -> dict:
         t0 = time.perf_counter()
         audio = self._fill_audio(audio, words)
-        with self._lock:
-            self._counter += 1
-            rng = jax.random.key(self._counter)
-            dir_vec, poses = synthesis.synthesize_clip_fused(
-                self.clip_fn, self.variables, audio, words, self.lang,
-                self.cfg, vid_idx=vid_idx, rng=rng, fade_out=fade_out,
-            )
+        with self._lock:  # only the id draw; JAX dispatch is thread-safe,
+            self._counter += 1  # and the device queue serializes compute —
+            rng = jax.random.key(self._counter)  # host prep may overlap
+        dir_vec, poses = synthesis.synthesize_clip_fused(
+            self.clip_fn, self.variables, audio, words, self.lang,
+            self.cfg, vid_idx=vid_idx, rng=rng, fade_out=fade_out,
+        )
         elapsed = (time.perf_counter() - t0) * 1e3
         self._record("synthesize", elapsed)
         return {
@@ -236,15 +236,16 @@ class SynthesisService:
         dummy = (np.zeros(int(unit * C.AUDIO_SR), np.float32), [], 0)
         clips += [dummy] * (bucket - n_real)
         fades += [False] * (bucket - n_real)
-        with self._lock:
-            keys = jnp.stack([
-                jax.random.key(self._counter + 1 + i) for i in range(bucket)
-            ])
+        with self._lock:  # only the id draw (see synthesize)
+            base = self._counter + 1
             self._counter += n_real
-            outs = synthesis.synthesize_clips_batched(
-                self.batched_fn, self.variables, clips, self.lang, self.cfg,
-                fade_out=fades, keys=keys,
-            )[:n_real]
+        keys = jnp.stack([
+            jax.random.key(base + i) for i in range(bucket)
+        ])
+        outs = synthesis.synthesize_clips_batched(
+            self.batched_fn, self.variables, clips, self.lang, self.cfg,
+            fade_out=fades, keys=keys,
+        )[:n_real]
         elapsed = (time.perf_counter() - t0) * 1e3
         self._record("synthesize_batch", elapsed, clips=n_real)
         return [
