@@ -389,11 +389,17 @@ def generate_gestures_by_dataset(
                 for spec, res in zip(batch_specs, batch_results)
             )
     elif dataset.lower() == "genea_challenge_2020":
+        if batched and make_video:
+            raise ValueError(
+                "batched dataset generation does not render videos; use "
+                "batched=False for the video path"
+            )
         data_path = data_params["data_path"]
         file_names = sorted(
             ".wav".join(f.split(".wav")[:-1])
             for f in os.listdir(jn(data_path, "audio"))
         )
+        batch_specs = []
         for f in file_names:
             audio = _load_wav_16k(jn(data_path, "audio", f + ".wav"))
             _, _, _, joint_positions, _, frame_rate = bvh_mod.load_bvh(
@@ -416,6 +422,19 @@ def generate_gestures_by_dataset(
                         ])
             clip_time = [0.0, len(joint_positions) / np.round(frame_rate)]
             vid_idx = int(rng.integers(0, 100)) if randomized else 0
+            if batched:
+                duration = clip_time[1] - clip_time[0]
+                lo, hi = data_params.get("clip_duration_range", (5, 30))
+                if check_duration and not (lo <= duration <= hi):
+                    continue
+                batch_specs.append({
+                    "vid_name": f,
+                    "clip_poses": scaled[:, GENEA_JOINTS_TO_KEEP],
+                    "clip_audio": audio, "clip_words": transcript,
+                    "clip_time": clip_time, "speaker_vid_idx": vid_idx,
+                    "rng": jax.random.key(0),
+                })
+                continue
             res = renderer.render_clip(
                 f, scaled[:, GENEA_JOINTS_TO_KEEP], audio, C.AUDIO_SR,
                 transcript, clip_time, speaker_vid_idx=vid_idx,
@@ -423,6 +442,15 @@ def generate_gestures_by_dataset(
                 make_video=make_video, save_pkl=save_pkl, save_path=save_path,
             )
             results.append((f, res))
+        if batched and batch_specs:
+            batch_results = renderer.render_clips_batched(
+                batch_specs, fade_out=fade_out, save_pkl=save_pkl,
+                save_path=save_path,
+            )
+            results.extend(
+                (spec["vid_name"], res)
+                for spec, res in zip(batch_specs, batch_results)
+            )
     else:
         raise ValueError(f"unknown dataset {dataset!r}")
 
