@@ -301,3 +301,83 @@ def test_stream_prune_and_cap(service):
         service.stream_idle_ttl, service.max_streams = ttl, cap
         service._streams.clear()
         service._stream_last_used.clear()
+
+
+def test_b64_transport_unit_roundtrip():
+    """encode/decode helpers: exact f32 round-trip + loud error paths."""
+    x = np.linspace(-1, 1, 1001).astype(np.float32)
+    y = serve.decode_f32_b64(serve.encode_f32_b64(x))
+    assert y.dtype == np.float32
+    np.testing.assert_array_equal(x, y)
+    with pytest.raises(ValueError, match="base64"):
+        serve.decode_f32_b64("not/valid base64!!")
+    import base64 as _b64
+    with pytest.raises(ValueError, match="multiple of 4"):
+        serve.decode_f32_b64(_b64.b64encode(b"abcde").decode())
+
+
+def test_b64_audio_matches_list_audio(server, service):
+    """The SAME audio via 'audio_b64' and via a JSON float list must give
+    bit-identical frames (fixed-seed stream sessions isolate the rng)."""
+    audio = (0.2 * np.sin(np.arange(int(4.0 * C.AUDIO_SR)) / 35)
+             ).astype(np.float32)
+    words = [["hello", 0.2, 0.7]]
+
+    def run(body_key, value, binary):
+        _, data = _request(server, "POST", "/stream/start",
+                           {"vid_idx": 1, "seed": 123})
+        sid = data["stream_id"]
+        status, _ = _request(server, "POST", "/stream/feed", {
+            "stream_id": sid, body_key: value, "words": words,
+        })
+        assert status == 200
+        status, data = _request(server, "POST", "/stream/flush",
+                                {"stream_id": sid, "binary": binary})
+        assert status == 200
+        if binary:
+            out = serve.decode_f32_b64(data["dir_vec_b64"]).reshape(
+                data["dir_vec_shape"])
+            assert data["frames"] == data["dir_vec_shape"][0]
+        else:
+            out = np.asarray(data["dir_vec"], np.float32)
+        return out
+
+    via_list = run("audio", audio.tolist(), binary=False)
+    via_b64 = run("audio_b64", serve.encode_f32_b64(audio), binary=True)
+    assert via_list.shape == via_b64.shape and via_list.shape[1] == C.POSE_DIM
+    np.testing.assert_array_equal(via_list, via_b64)
+
+
+def test_b64_synthesize_and_batch(server):
+    """'audio_b64' + 'binary' on /synthesize and /synthesize_batch: right
+    shapes, finite values, and the binary payload decodes consistently."""
+    audio = (0.1 * np.sin(np.arange(int(4.0 * C.AUDIO_SR)) / 25)
+             ).astype(np.float32)
+    b64 = serve.encode_f32_b64(audio)
+    status, data = _request(server, "POST", "/synthesize", {
+        "audio_b64": b64, "words": [["world", 0.5, 1.0]], "binary": True,
+    })
+    assert status == 200 and "dir_vec" not in data
+    dv = serve.decode_f32_b64(data["dir_vec_b64"]).reshape(
+        data["dir_vec_shape"])
+    ps = serve.decode_f32_b64(data["poses_b64"]).reshape(data["poses_shape"])
+    assert dv.shape[1] == C.POSE_DIM and data["frames"] == len(dv)
+    assert ps.shape == (len(dv), C.NUM_JOINTS, 3)
+    assert np.isfinite(dv).all() and np.isfinite(ps).all()
+
+    status, data = _request(server, "POST", "/synthesize_batch", {
+        "binary": True,
+        "requests": [{"audio_b64": b64, "words": [["hello", 0.2, 0.6]]},
+                     {"audio": None, "words": [["x", 0.2, 0.6]]}],
+    })
+    assert status == 200
+    for r in data["results"]:
+        out = serve.decode_f32_b64(r["dir_vec_b64"]).reshape(
+            r["dir_vec_shape"])
+        assert out.shape[1] == C.POSE_DIM and np.isfinite(out).all()
+
+    # corrupt b64 surfaces as a 400, not a 500
+    status, data = _request(server, "POST", "/synthesize", {
+        "audio_b64": "!!!", "words": [],
+    })
+    assert status == 400

@@ -9,6 +9,12 @@ own /metrics aggregation, comparing:
 - a /stream session feeding real-time-sized chunks (is the service fast
   enough to keep up with live audio? headroom = audio-seconds per wall-s).
 
+Each section runs in BOTH transports: 'json' (float lists, the naive
+client) and 'b64' (audio_b64 raw-f32 request + binary response) — on a
+1-core host the JSON encode/parse of 80k samples/clip dominates the
+whole request, so the transport choice IS the serving throughput story
+(docs/PERFORMANCE.md).
+
 Usage: python tools/bench_serve_load.py [--clips 32] [--seconds 5]
        [--batch 8] [--threads 4]
 """
@@ -90,55 +96,79 @@ def main(argv=None):
 
     words = [["hello", 0.3, 0.8], ["world", 2.0, 2.5]]
     n_audio = int(args.seconds * C.AUDIO_SR)
-    audios = [
+    raw_audios = [
         (0.2 * np.sin(2 * np.pi * (150 + 9 * i) * np.arange(n_audio)
-                      / C.AUDIO_SR)).astype(np.float32).tolist()
+                      / C.AUDIO_SR)).astype(np.float32)
         for i in range(args.clips)
     ]
+    audios = [a.tolist() for a in raw_audios]
+    audios_b64 = [serve_mod.encode_f32_b64(a) for a in raw_audios]
 
-    # --- sequential + threaded /synthesize
-    def one(i):
-        return _post(port, "/synthesize",
-                     {"audio": audios[i], "words": words, "vid_idx": i % 50})
+    def req_body(i, transport):
+        if transport == "b64":
+            return {"audio_b64": audios_b64[i], "words": words,
+                    "vid_idx": i % 50, "binary": True}
+        return {"audio": audios[i], "words": words, "vid_idx": i % 50}
 
-    one(0)  # warm this exact bucket
-    # warm the batch program (B bucket x window bucket) and the stream
-    # window program so the timed sections measure steady state
+    # --- warmups: this exact window bucket, the batch program
+    # (B bucket x window bucket), and the stream window program, so the
+    # timed sections measure steady state
+    _post(port, "/synthesize", req_body(0, "json"))
     _post(port, "/synthesize_batch", {"requests": [
-        {"audio": audios[0], "words": words, "vid_idx": 0}
-        for _ in range(args.batch)
+        req_body(0, "json") for _ in range(args.batch)
     ]})
     _sid = _post(port, "/stream/start", {})["stream_id"]
     _post(port, "/stream/feed", {"stream_id": _sid, "audio": audios[0]})
     _post(port, "/stream/flush", {"stream_id": _sid})
 
-    t0 = time.perf_counter()
-    with ThreadPoolExecutor(args.threads) as ex:
-        list(ex.map(one, range(args.clips)))
-    t_single = time.perf_counter() - t0
+    results = {}
+    for transport in ("json", "b64"):
+        # --- threaded /synthesize
+        def one(i, _t=transport):
+            return _post(port, "/synthesize", req_body(i, _t))
 
-    # --- /synthesize_batch in groups of B
-    t0 = time.perf_counter()
-    for lo in range(0, args.clips, args.batch):
-        _post(port, "/synthesize_batch", {"requests": [
-            {"audio": audios[i], "words": words, "vid_idx": i % 50}
-            for i in range(lo, min(lo + args.batch, args.clips))
-        ]})
-    t_batch = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(args.threads) as ex:
+            list(ex.map(one, range(args.clips)))
+        t_single = time.perf_counter() - t0
 
-    # --- live stream: feed chunk_ms-sized chunks, measure keep-up headroom
-    sid = _post(port, "/stream/start", {"vid_idx": 1})["stream_id"]
-    chunk = int(C.AUDIO_SR * args.chunk_ms / 1000)
-    audio0 = audios[0]
-    t0 = time.perf_counter()
-    frames = 0
-    for lo in range(0, len(audio0), chunk):
-        body = {"stream_id": sid, "audio": audio0[lo:lo + chunk]}
-        if lo == 0:
-            body["words"] = words
-        frames += _post(port, "/stream/feed", body)["frames"]
-    frames += _post(port, "/stream/flush", {"stream_id": sid})["frames"]
-    t_stream = time.perf_counter() - t0
+        # --- /synthesize_batch in groups of B
+        t0 = time.perf_counter()
+        for lo in range(0, args.clips, args.batch):
+            _post(port, "/synthesize_batch", {
+                "binary": transport == "b64",
+                "requests": [req_body(i, transport)
+                             for i in range(lo, min(lo + args.batch,
+                                                    args.clips))],
+            })
+        t_batch = time.perf_counter() - t0
+
+        # --- live stream: chunk_ms-sized chunks, keep-up headroom
+        sid = _post(port, "/stream/start", {"vid_idx": 1})["stream_id"]
+        chunk = int(C.AUDIO_SR * args.chunk_ms / 1000)
+        t0 = time.perf_counter()
+        frames = 0
+        for lo in range(0, n_audio, chunk):
+            body = {"stream_id": sid}
+            if transport == "b64":
+                body["audio_b64"] = serve_mod.encode_f32_b64(
+                    raw_audios[0][lo:lo + chunk])
+                body["binary"] = True
+            else:
+                body["audio"] = audios[0][lo:lo + chunk]
+            if lo == 0:
+                body["words"] = words
+            frames += _post(port, "/stream/feed", body)["frames"]
+        frames += _post(port, "/stream/flush", {"stream_id": sid})["frames"]
+        t_stream = time.perf_counter() - t0
+
+        results[transport] = {
+            "synthesize_clips_per_s": round(args.clips / t_single, 2),
+            "batch_clips_per_s": round(args.clips / t_batch, 2),
+            "batch_speedup": round(t_single / t_batch, 2),
+            "stream_realtime_headroom": round(args.seconds / t_stream, 1),
+            "stream_frames": frames,
+        }
 
     conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
     conn.request("GET", "/metrics")
@@ -149,11 +179,8 @@ def main(argv=None):
     print(json.dumps({
         "clips": args.clips, "clip_seconds": args.seconds,
         "threads": args.threads, "batch": args.batch,
-        "synthesize_clips_per_s": round(args.clips / t_single, 2),
-        "batch_clips_per_s": round(args.clips / t_batch, 2),
-        "batch_speedup": round(t_single / t_batch, 2),
-        "stream_realtime_headroom": round(args.seconds / t_stream, 1),
-        "stream_frames": frames,
+        "json": results["json"],
+        "b64": results["b64"],
         "metrics": metrics,
     }), flush=True)
 
