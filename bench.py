@@ -80,6 +80,46 @@ def _cost_flops(train_step, state, batch, key):
         return None
 
 
+def _canonical_flops(cfg, batch_size, key):
+    """Algorithmic FLOPs per step: XLA cost analysis of the lax.scan-engine
+    program on UNOPTIMIZED HLO (Lowered.cost_analysis — no backend compile).
+
+    This is the MFU numerator for every engine/precision. Counting the
+    flops of whatever program actually runs would let backend padding
+    inflate 'utilization': the pallas-v2 GRU pre-pads gate columns inside
+    the weight matrices (ops/gru_pallas.py), so ITS compiled count is ~40%
+    higher than the same math unpadded — pad flops do no useful work. The
+    scan program is the reference semantics with no TPU-specific padding;
+    its count is the work a user bought, whichever engine delivers it.
+    (BENCH_r02's 315G/step was yet another variant: the pallas-v1 adapter
+    kept recurrent matmuls inside an uncounted custom call — UNDERcounting.
+    Fixed denominator, comparable across rounds, from here on.)
+    """
+    prev = os.environ.get("S2AG_GRU_ENGINE")
+    os.environ["S2AG_GRU_ENGINE"] = "scan"
+    try:
+        setup = builder.init_training(
+            cfg, jax.random.key(0), n_words=1000, n_speakers=100
+        )
+        batch = builder.synthetic_batch(
+            np.random.default_rng(0), batch_size, cfg, 1000, 100
+        )
+        lowered = setup["train_step"].lower(
+            setup["state"], batch, key, gan_on=True
+        )
+        cost = lowered.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
+    finally:
+        if prev is None:
+            os.environ.pop("S2AG_GRU_ENGINE", None)
+        else:
+            os.environ["S2AG_GRU_ENGINE"] = prev
+
+
 def _measure(train_step, state, batch, key):
     """Honest steps/s: dependent-chain windows ending in a value fetch,
     slope between the two window sizes, median over REPS."""
@@ -126,7 +166,7 @@ def main():
         ))
         res = _measure(train_step, state, batch, key)
         steps_per_sec = res["steps_per_sec"]
-        flops = _cost_flops(train_step, state, batch, key)
+        flops = _canonical_flops(cfg, bs, key)
         mfu = (flops * steps_per_sec / peak) if (flops and peak) else None
         if mfu is not None and mfu > 1.0:
             raise SystemExit(
@@ -156,8 +196,9 @@ def main():
     ))
     mp_res = _measure(mp_setup["train_step"], mp_setup["state"], mp_batch, key)
     mp_steps = mp_res["steps_per_sec"]
-    mp_flops = _cost_flops(mp_setup["train_step"], mp_setup["state"],
-                           mp_batch, key)
+    # same canonical (useful-work) numerator as the f32 rows: bf16 does
+    # the same math, so its MFU is directly comparable
+    mp_flops = results[HEADLINE_BATCH]["flops_per_step"]
     mp_mfu = (mp_flops * mp_steps / peak) if (mp_flops and peak) else None
     if mp_mfu is not None and mp_mfu > 1.0:
         raise SystemExit(f"IMPOSSIBLE mixed-precision MFU {mp_mfu:.3f}")
@@ -186,6 +227,7 @@ def main():
         "samples_per_sec": round(head["samples_per_sec"], 1),
         "mfu": round(head["mfu"], 4) if head["mfu"] else None,
         "flops_per_step": head["flops_per_step"],
+        "flops_model": "scan_engine_unoptimized_hlo",
         "slope_samples_ms_bs128": head["slope_samples_ms"],
         "best_config": {
             "batch_size": best_bs,

@@ -112,20 +112,26 @@ class SynthesisService:
     via `from_trainer` (checkpointed models) or `from_config` (fresh)."""
 
     def __init__(self, cfg: ModelConfig, gen, variables, lang_model: Vocab,
-                 use_mfcc: bool = True):
+                 use_mfcc: bool = True, precision: str = "f32"):
         self.cfg = cfg
         self.lang = lang_model
         self.gen = gen
         self.variables = variables
         self.use_mfcc = use_mfcc
+        # 'f32' = converted-checkpoint output parity (highest-precision
+        # matmuls); 'bf16' = TPU-native inference precision — measured
+        # latency/drift trade in docs/PERFORMANCE.md (precision_wrap)
+        self.precision = precision
         # the whole request path (MFCC -> window scan -> crossfade -> FK)
         # as ONE device program per window bucket: one dispatch + one fetch
         # per request instead of one per stage (synthesis.make_fused_clip_fn)
-        self.clip_fn = synthesis.make_fused_clip_fn(gen.apply, cfg, use_mfcc)
+        self.clip_fn = synthesis.make_fused_clip_fn(
+            gen.apply, cfg, use_mfcc, precision
+        )
         # multi-clip program for /synthesize_batch, compiled lazily per
         # (clip-count bucket, window bucket) pair
         self.batched_fn = synthesis.make_batched_clip_fn(
-            gen.apply, cfg, use_mfcc
+            gen.apply, cfg, use_mfcc, precision=precision
         )
         self._lock = threading.Lock()
         self._counter = 0
@@ -179,16 +185,17 @@ class SynthesisService:
     @classmethod
     def from_config(cls, cfg: ModelConfig, variables, lang_model: Vocab,
                     n_speakers: int = 1000, variant: str = "s2ag",
-                    word_embeddings=None) -> "SynthesisService":
+                    word_embeddings=None,
+                    precision: str = "f32") -> "SynthesisService":
         gen, _, _ = builder.build_models(
             cfg, lang_model.n_words if lang_model else 1000, n_speakers,
             word_embeddings=word_embeddings, variant=variant,
         )
         return cls(cfg, gen, variables, lang_model,
-                   use_mfcc=(variant != "abl_audio"))
+                   use_mfcc=(variant != "abl_audio"), precision=precision)
 
     @classmethod
-    def from_trainer(cls, trainer) -> "SynthesisService":
+    def from_trainer(cls, trainer, precision: str = "f32") -> "SynthesisService":
         lang = (trainer.test_data.lang_model if trainer.test_data
                 else trainer.train_data.lang_model)
         variables = {
@@ -198,6 +205,7 @@ class SynthesisService:
         return cls(
             trainer.cfg, trainer.gen, variables, lang,
             use_mfcc=getattr(trainer, "variant", "s2ag") != "abl_audio",
+            precision=precision,
         )
 
     def warmup(self, seconds: float = 62.0):
@@ -314,7 +322,7 @@ class SynthesisService:
                 )
             if self._window_fn is None:
                 self._window_fn = streaming.make_window_fn(
-                    self.gen.apply, self.cfg, self.use_mfcc
+                    self.gen.apply, self.cfg, self.use_mfcc, self.precision
                 )
             self._counter += 1
             stream_id = f"s{self._counter:06d}"
@@ -386,6 +394,7 @@ def make_handler(service: SynthesisService):
                     "status": "ok",
                     "backend": jax.default_backend(),
                     "n_poses": service.cfg.n_poses,
+                    "precision": service.precision,
                 })
             else:
                 self._send(404, {"error": "unknown path"})
@@ -484,6 +493,11 @@ def main(argv=None):
 
     parser = build_parser()
     parser.add_argument("--port", type=int, default=8787)
+    parser.add_argument("--serve-precision", choices=("f32", "bf16"),
+                        default="f32",
+                        help="bf16 = TPU-native inference precision "
+                        "(lower latency, ~1e-2-relative output drift; "
+                        "f32 = converted-checkpoint output parity)")
     args = parser.parse_args(argv)
     args.train_s2ag = False  # serving never needs the train/val splits
     cfg = ModelConfig.from_yaml(args.config, batch_size=args.batch_size)
@@ -500,7 +514,9 @@ def main(argv=None):
                 f"no checkpoint found in {work_dir}; pass --torch-checkpoint "
                 "or --s2ag-load-last-best false to serve random-init weights"
             )
-    service = SynthesisService.from_trainer(trainer)
+    service = SynthesisService.from_trainer(
+        trainer, precision=args.serve_precision
+    )
     print("warming up (compiles the window scan)...")
     service.warmup()
     server = serve(service, port=args.port)

@@ -35,16 +35,20 @@ from .ops import dsp
 from .train import synthesis
 
 
-def make_window_fn(gen_apply, cfg: ModelConfig, use_mfcc: bool = True):
+def make_window_fn(gen_apply, cfg: ModelConfig, use_mfcc: bool = True,
+                   precision: str = "f32"):
     """ONE window as one jitted device program: features -> generator.
 
     window_fn(variables, audio (L,), text (T,), vid_idx (1,), seed
     (n_pre, D), key) -> (T, D) raw window output. Identical math to one
     step of synthesis.make_window_scan (the same seeding and rng split),
     so a chain of window_fn calls reproduces the offline scan.
+    precision: 'f32' (highest-precision matmuls, checkpoint parity) or
+    'bf16' (synthesis.precision_wrap).
     """
     n_pre = cfg.n_pre_poses
     t = cfg.n_poses
+    apply_fn = synthesis.precision_wrap(gen_apply, precision)
 
     @jax.jit
     def window_fn(variables, audio, text, vid_idx, seed, key):
@@ -58,11 +62,10 @@ def make_window_fn(gen_apply, cfg: ModelConfig, use_mfcc: bool = True):
         pre = pre.at[0, :n_pre, :-1].set(seed)
         pre = pre.at[0, :n_pre, -1].set(1.0)
         key, sub = jax.random.split(key)
-        with jax.default_matmul_precision("highest"):
-            out, *_ = gen_apply(
-                variables, pre, text[None], feat[None], vid_idx,
-                train=False, rngs={"noise": sub},
-            )
+        out, *_ = apply_fn(
+            variables, pre, text[None], feat[None], vid_idx,
+            train=False, rngs={"noise": sub},
+        )
         return out[0], key
 
     return window_fn
@@ -87,13 +90,15 @@ class StreamingSynthesizer:
     def __init__(self, gen_apply, variables, lang_model, cfg: ModelConfig,
                  vid_idx: int = 0, seed_dir_vec: np.ndarray | None = None,
                  rng: jax.Array | None = None, use_mfcc: bool = True,
-                 window_fn=None):
+                 window_fn=None, precision: str = "f32"):
         self.cfg = cfg
         self.lang = lang_model
         self.variables = variables
         self.vid_idx = jnp.asarray([vid_idx])
         self.use_mfcc = use_mfcc
-        self.window_fn = window_fn or make_window_fn(gen_apply, cfg, use_mfcc)
+        self.window_fn = window_fn or make_window_fn(
+            gen_apply, cfg, use_mfcc, precision
+        )
         self.unit_time = cfg.n_poses / cfg.motion_resampling_framerate
         self.stride_time = ((cfg.n_poses - cfg.n_pre_poses)
                             / cfg.motion_resampling_framerate)

@@ -255,7 +255,51 @@ def synthesize_clip(
 # ---------------------------------------------------------------------------
 
 
-def make_fused_clip_fn(gen_apply, cfg: ModelConfig, use_mfcc: bool = True):
+def precision_wrap(gen_apply, precision: str):
+    """Bind the inference numerics policy into a generator apply fn.
+
+    'f32' (default): every matmul pinned to highest precision — converted
+    reference checkpoints reproduce bit-comparable outputs (the parity
+    suite's assumption). 'bf16': params and floating inputs cast to bf16
+    per call, floating outputs cast back to f32 (the inference analog of
+    builder.mixed_precision_apply) — assembly/crossfade/FK stay f32, the
+    network forward runs at TPU-native precision. Opt-in: the output
+    drift is CONDITIONED ON THE MODEL'S RECURRENT DYNAMICS (a contractive
+    trained GRU stays at a few % relative; an expansive one amplifies
+    rounding exponentially over the 34-step window — see
+    tests/test_serve.py::test_bf16_precision_service). Always check
+    tools/bench_serve_precision.py's deviation report for the actual
+    checkpoint being served; latency A/B in docs/PERFORMANCE.md.
+    """
+    if precision == "f32":
+        def run(variables, *args, **kwargs):
+            with jax.default_matmul_precision("highest"):
+                return gen_apply(variables, *args, **kwargs)
+
+        return run
+    if precision != "bf16":
+        raise ValueError(f"unknown precision {precision!r} "
+                         "(expected 'f32' or 'bf16')")
+    bf16, f32 = jnp.bfloat16, jnp.float32
+
+    def cast_in(x):
+        return x.astype(bf16) if getattr(x, "dtype", None) == f32 else x
+
+    def cast_out(x):
+        return x.astype(f32) if getattr(x, "dtype", None) == bf16 else x
+
+    def run(variables, *args, **kwargs):
+        variables = dict(variables)
+        variables["params"] = jax.tree.map(cast_in, variables["params"])
+        args = tuple(jax.tree.map(cast_in, a) for a in args)
+        out = gen_apply(variables, *args, **kwargs)
+        return jax.tree.map(cast_out, out)
+
+    return run
+
+
+def make_fused_clip_fn(gen_apply, cfg: ModelConfig, use_mfcc: bool = True,
+                       precision: str = "f32"):
     """Compile the complete serving computation as ONE jitted program:
     MFCC front-end -> autoregressive window scan -> validity-masked
     crossfade/assembly -> mean re-add -> FK pose conversion.
@@ -276,16 +320,18 @@ def make_fused_clip_fn(gen_apply, cfg: ModelConfig, use_mfcc: bool = True):
     validity mask stops the first padded window from blending into the
     last n_pre real rows).
     """
-    return jax.jit(_fused_clip_body(gen_apply, cfg, use_mfcc))
+    return jax.jit(_fused_clip_body(gen_apply, cfg, use_mfcc, precision))
 
 
-def _fused_clip_body(gen_apply, cfg: ModelConfig, use_mfcc: bool = True):
+def _fused_clip_body(gen_apply, cfg: ModelConfig, use_mfcc: bool = True,
+                     precision: str = "f32"):
     """The single-clip fused program body (unjitted) — shared by
     make_fused_clip_fn (jit) and make_batched_clip_fn (jit∘vmap)."""
     n_pre = cfg.n_pre_poses
     t = cfg.n_poses
     stride = t - n_pre
     mean_vec = jnp.asarray(cfg.mean_dir_vec_array.reshape(-1))
+    apply_fn = precision_wrap(gen_apply, precision)
 
     def fused(variables, audio_windows, text_windows, vid_idx, seed, rng,
               n_valid):
@@ -303,16 +349,15 @@ def _fused_clip_body(gen_apply, cfg: ModelConfig, use_mfcc: bool = True):
             pre = pre.at[0, :n_pre, :-1].set(sd)
             pre = pre.at[0, :n_pre, -1].set(1.0)
             key, sub = jax.random.split(key)
-            out, *_ = gen_apply(
+            out, *_ = apply_fn(
                 variables, pre, text[None], feat[None], vid_idx,
                 train=False, rngs={"noise": sub},
             )
             return (out[0, -n_pre:], key), out[0]
 
-        with jax.default_matmul_precision("highest"):
-            (_, _), outs = jax.lax.scan(
-                step, (seed, rng), (feat_windows, text_windows)
-            )  # (S, T, D)
+        (_, _), outs = jax.lax.scan(
+            step, (seed, rng), (feat_windows, text_windows)
+        )  # (S, T, D)
 
         s = outs.shape[0]
         # linear crossfade of each window's first n_pre frames with the
@@ -344,7 +389,8 @@ def _fused_clip_body(gen_apply, cfg: ModelConfig, use_mfcc: bool = True):
 
 
 def make_batched_clip_fn(gen_apply, cfg: ModelConfig, use_mfcc: bool = True,
-                         mesh=None, data_axis: str = "data"):
+                         mesh=None, data_axis: str = "data",
+                         precision: str = "f32"):
     """Compile MULTI-CLIP fused synthesis: the single-clip fused program
     vmapped over a leading clip axis B, one jitted program for the batch.
 
@@ -368,7 +414,7 @@ def make_batched_clip_fn(gen_apply, cfg: ModelConfig, use_mfcc: bool = True,
     per-clip key (same RNG consumption — the key is split inside each
     lane), up to batched-matmul reduction-order effects.
     """
-    body = _fused_clip_body(gen_apply, cfg, use_mfcc)
+    body = _fused_clip_body(gen_apply, cfg, use_mfcc, precision)
     fn = jax.vmap(body, in_axes=(None, 0, 0, 0, 0, 0, 0))
     if mesh is None:
         return jax.jit(fn)

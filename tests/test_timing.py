@@ -214,3 +214,36 @@ def test_mixed_precision_training_converges():
             first = last
     assert np.isfinite(last)
     assert last < first, (first, last)
+
+
+@pytest.mark.slow
+def test_canonical_flops_engine_independent():
+    """bench._canonical_flops: a positive count from the scan-engine
+    unoptimized-HLO cost analysis, unaffected by the caller's engine env
+    (the pallas engine pads gate columns — its compiled count is NOT the
+    useful work; BENCH r02->r05 comparability depends on this)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+    from speech2affective_gestures_tpu.config import ModelConfig
+
+    cfg = ModelConfig(hidden_size=64, hidden_size_s2eg=64, n_layers=2)
+    prev = os.environ.get("S2AG_GRU_ENGINE")
+    try:
+        os.environ["S2AG_GRU_ENGINE"] = "pallas"  # must be ignored inside
+        f1 = bench._canonical_flops(cfg, 4, jax.random.key(0))
+        os.environ.pop("S2AG_GRU_ENGINE", None)
+        f2 = bench._canonical_flops(cfg, 4, jax.random.key(0))
+    finally:
+        if prev is None:
+            os.environ.pop("S2AG_GRU_ENGINE", None)
+        else:
+            os.environ["S2AG_GRU_ENGINE"] = prev
+    assert f1 and f1 > 1e6
+    assert f1 == f2  # caller env does not leak into the canonical count
+    # bigger batch => more flops, roughly linear in the batch-linear parts
+    f8 = bench._canonical_flops(cfg, 8, jax.random.key(0))
+    assert f8 > f1
