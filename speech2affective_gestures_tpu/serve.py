@@ -30,6 +30,9 @@ API (JSON over HTTP):
       -> {"results": [<synthesize response>, ...]} — the whole batch runs
       as ONE device program (the fused clip program vmapped over clips);
       elapsed_ms on each result is the batch wall time
+      (with --auto-batch-ms N, concurrent /synthesize requests arriving
+      within N ms coalesce into the same batched program server-side —
+      no client changes needed)
   POST /stream/start      body: {"vid_idx": int?, "seed": int?}
       -> {"stream_id": ...} — open a live synthesis session
   POST /stream/feed       body: {"stream_id", "audio": [...] |
@@ -112,7 +115,8 @@ class SynthesisService:
     via `from_trainer` (checkpointed models) or `from_config` (fresh)."""
 
     def __init__(self, cfg: ModelConfig, gen, variables, lang_model: Vocab,
-                 use_mfcc: bool = True, precision: str = "f32"):
+                 use_mfcc: bool = True, precision: str = "f32",
+                 auto_batch_ms: float = 0.0, auto_batch_max: int = 16):
         self.cfg = cfg
         self.lang = lang_model
         self.gen = gen
@@ -135,6 +139,16 @@ class SynthesisService:
         )
         self._lock = threading.Lock()
         self._counter = 0
+        # server-side micro-batching: /synthesize requests arriving within
+        # auto_batch_ms of each other coalesce into ONE /synthesize_batch
+        # device program (vmapped over clips — concurrent throughput
+        # approaches the batched line instead of serializing per-clip
+        # programs). 0 = off (default): single requests keep their
+        # zero-added-latency path.
+        self.auto_batch_ms = float(auto_batch_ms)
+        self.auto_batch_max = int(auto_batch_max)
+        self._ab_lock = threading.Lock()
+        self._ab_pending: list[dict] = []
         # live sessions: one shared compiled window program for all of them
         self._window_fn = None
         self._streams: dict = {}
@@ -195,7 +209,8 @@ class SynthesisService:
                    use_mfcc=(variant != "abl_audio"), precision=precision)
 
     @classmethod
-    def from_trainer(cls, trainer, precision: str = "f32") -> "SynthesisService":
+    def from_trainer(cls, trainer, precision: str = "f32",
+                     **kwargs) -> "SynthesisService":
         lang = (trainer.test_data.lang_model if trainer.test_data
                 else trainer.train_data.lang_model)
         variables = {
@@ -205,7 +220,7 @@ class SynthesisService:
         return cls(
             trainer.cfg, trainer.gen, variables, lang,
             use_mfcc=getattr(trainer, "variant", "s2ag") != "abl_audio",
-            precision=precision,
+            precision=precision, **kwargs,
         )
 
     def warmup(self, seconds: float = 62.0):
@@ -305,6 +320,60 @@ class SynthesisService:
              "elapsed_ms": elapsed}
             for dv, ps in outs
         ]
+
+    # -------------------------------------------- request micro-batching
+
+    def synthesize_auto(self, audio, words, vid_idx: int = 0,
+                        fade_out: bool = False) -> dict:
+        """/synthesize entry honoring auto_batch_ms: requests that arrive
+        while one is waiting coalesce into a single batched device program
+        (synthesize_batch); with auto_batch_ms == 0 this IS synthesize().
+
+        A request waits at most auto_batch_ms for companions; a full
+        auto_batch_max group dispatches immediately. Failures of the
+        shared batch surface on every member request."""
+        if self.auto_batch_ms <= 0:
+            return self.synthesize(audio, words, vid_idx=vid_idx,
+                                   fade_out=fade_out)
+        entry = {
+            "req": {"audio": audio, "words": words, "vid_idx": vid_idx,
+                    "fade_out": fade_out},
+            "event": threading.Event(), "out": None, "err": None,
+        }
+        with self._ab_lock:
+            self._ab_pending.append(entry)
+            first = len(self._ab_pending) == 1
+            full = len(self._ab_pending) >= self.auto_batch_max
+        if full:
+            self._ab_drain()
+        elif first:
+            # the first waiter of a group owns its flush timer
+            threading.Thread(target=self._ab_drain_later,
+                             daemon=True).start()
+        entry["event"].wait()
+        if entry["err"] is not None:
+            raise entry["err"]
+        return entry["out"]
+
+    def _ab_drain_later(self):
+        time.sleep(self.auto_batch_ms / 1e3)
+        self._ab_drain()
+
+    def _ab_drain(self):
+        with self._ab_lock:
+            pending, self._ab_pending = self._ab_pending, []
+        if not pending:
+            return
+        try:
+            results = self.synthesize_batch([e["req"] for e in pending])
+            for e, r in zip(pending, results):
+                e["out"] = r
+        except Exception as ex:  # noqa: BLE001 — fan the error out
+            for e in pending:
+                e["err"] = ex
+        finally:
+            for e in pending:
+                e["event"].set()
 
     # -------------------------------------------------- live streaming
 
@@ -436,7 +505,7 @@ def make_handler(service: SynthesisService):
                         raise KeyError("audio")
                     audio = audio_from_request(req)
                     words = req.get("words", [])
-                    result = service.synthesize(
+                    result = service.synthesize_auto(
                         audio, words,
                         vid_idx=int(req.get("vid_idx", 0)),
                         fade_out=bool(req.get("fade_out", False)),
@@ -496,8 +565,13 @@ def main(argv=None):
     parser.add_argument("--serve-precision", choices=("f32", "bf16"),
                         default="f32",
                         help="bf16 = TPU-native inference precision "
-                        "(lower latency, ~1e-2-relative output drift; "
+                        "(lower latency; output drift depends on the "
+                        "model — check tools/bench_serve_precision.py; "
                         "f32 = converted-checkpoint output parity)")
+    parser.add_argument("--auto-batch-ms", type=float, default=0.0,
+                        help="coalesce concurrent /synthesize requests "
+                        "arriving within this window into one batched "
+                        "device program (0 = off)")
     args = parser.parse_args(argv)
     args.train_s2ag = False  # serving never needs the train/val splits
     cfg = ModelConfig.from_yaml(args.config, batch_size=args.batch_size)
@@ -515,7 +589,8 @@ def main(argv=None):
                 "or --s2ag-load-last-best false to serve random-init weights"
             )
     service = SynthesisService.from_trainer(
-        trainer, precision=args.serve_precision
+        trainer, precision=args.serve_precision,
+        auto_batch_ms=args.auto_batch_ms,
     )
     print("warming up (compiles the window scan)...")
     service.warmup()

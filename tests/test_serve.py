@@ -440,3 +440,74 @@ def test_bf16_precision_service():
 
     with pytest.raises(ValueError, match="unknown precision"):
         synthesis.precision_wrap(gen.apply, "fp8")
+
+
+def test_auto_batching_coalesces_concurrent_requests(service):
+    """auto_batch_ms: N concurrent /synthesize calls run as ONE batched
+    device program; results keep per-request shapes; a lone request still
+    completes (timer flush); errors fan out to every member."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    ttl = service.auto_batch_ms
+    service.auto_batch_ms = 80.0
+    service.reset_metrics()
+    try:
+        audio4 = np.zeros(int(4.0 * C.AUDIO_SR), np.float32)
+        audio6 = np.zeros(int(6.0 * C.AUDIO_SR), np.float32)
+        words = [["hello", 0.2, 0.6]]
+
+        def one(i):
+            return service.synthesize_auto(
+                audio6 if i == 2 else audio4, words, vid_idx=i,
+                fade_out=(i == 1),
+            )
+        with ThreadPoolExecutor(4) as ex:
+            results = list(ex.map(one, range(4)))
+        for i, r in enumerate(results):
+            out = np.asarray(r["dir_vec"])
+            assert out.shape[1] == C.POSE_DIM and np.isfinite(out).all()
+            assert r["frames"] == len(out)
+        assert len(results[2]["dir_vec"]) > len(results[0]["dir_vec"])
+        # fade_out lane ends (near) the mean pose — the polyfit seam
+        # smoothing can leave O(1e-3) residue on short clips where the
+        # smoothed region reaches the final frame
+        assert np.abs(np.asarray(results[1]["dir_vec"])[-1]).max() < 5e-3
+        m = service.metrics()
+        assert m["synthesize_batch"]["clips"] == 4
+        assert m["synthesize_batch"]["requests"] < 4  # actually coalesced
+        assert "synthesize" not in m  # nothing took the per-clip path
+
+        # lone request: the timer drains it without companions
+        r = service.synthesize_auto(audio4, words, vid_idx=1)
+        assert np.isfinite(np.asarray(r["dir_vec"])).all()
+
+        # a poisoned member fails every request in its group, loudly
+        def bad(i):
+            if i == 0:
+                return service.synthesize_auto(audio4, "not words", 0)
+            return service.synthesize_auto(audio4, words, vid_idx=i)
+        with ThreadPoolExecutor(2) as ex:
+            futs = [ex.submit(bad, i) for i in range(2)]
+            errs = 0
+            for f in futs:
+                try:
+                    f.result()
+                except Exception:
+                    errs += 1
+        assert errs >= 1  # at least the poisoned one; group failure ok
+    finally:
+        service.auto_batch_ms = ttl
+        service.reset_metrics()
+
+
+def test_auto_batch_off_uses_per_clip_path(service):
+    """auto_batch_ms == 0 (default): synthesize_auto IS synthesize."""
+    assert service.auto_batch_ms == 0.0
+    service.reset_metrics()
+    audio = np.zeros(int(4.0 * C.AUDIO_SR), np.float32)
+    r = service.synthesize_auto(audio, [["hello", 0.2, 0.6]])
+    assert np.isfinite(np.asarray(r["dir_vec"])).all()
+    m = service.metrics()
+    assert m["synthesize"]["requests"] == 1
+    assert "synthesize_batch" not in m
+    service.reset_metrics()

@@ -170,6 +170,29 @@ def main(argv=None):
             "stream_frames": frames,
         }
 
+    # --- server-side micro-batching A/B: concurrent b64 /synthesize with
+    # auto_batch_ms off vs on (toggled in-process on the same service, so
+    # the comparison shares compiled programs and device state)
+    auto_results = {}
+
+    def one_b64(i):
+        return _post(port, "/synthesize", req_body(i, "b64"))
+
+    # warm every clip-count bucket the coalescer can form (requests may
+    # split across timer windows, so group sizes 1..threads all occur)
+    service.auto_batch_ms = 10.0
+    with ThreadPoolExecutor(max(args.threads, 8)) as ex:
+        list(ex.map(one_b64, range(args.clips)))
+    for ab_ms in (0.0, 10.0):
+        service.auto_batch_ms = ab_ms
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max(args.threads, 8)) as ex:
+            list(ex.map(one_b64, range(args.clips)))
+        auto_results["on" if ab_ms else "off"] = round(
+            args.clips / (time.perf_counter() - t0), 2
+        )
+    service.auto_batch_ms = 0.0
+
     conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
     conn.request("GET", "/metrics")
     metrics = json.loads(conn.getresponse().read())
@@ -181,6 +204,7 @@ def main(argv=None):
         "threads": args.threads, "batch": args.batch,
         "json": results["json"],
         "b64": results["b64"],
+        "auto_batch_synthesize_clips_per_s": auto_results,
         "metrics": metrics,
     }), flush=True)
 
