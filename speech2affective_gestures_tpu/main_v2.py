@@ -95,7 +95,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "pass (trajectory-preserving: identical values and "
                         "gradients; trades recompute FLOPs for HBM "
                         "activation traffic — see docs/PERFORMANCE.md)")
-    p.add_argument("--metrics-lag", type=int, default=2,
+    p.add_argument("--metrics-lag", type=int, default=8,
                    help="device metrics may stay un-fetched for this many "
                         "steps so host dispatch runs ahead of the "
                         "per-step device->host sync (pure scheduling — "

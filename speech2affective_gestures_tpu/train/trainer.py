@@ -95,7 +95,7 @@ class Trainer:
         divreg_draw: str = "permutation",
         fused_pass: bool = False,
         remat: str = "none",
-        metrics_lag: int = 2,
+        metrics_lag: int = 8,
     ):
         self.cfg = cfg
         self.work_dir = work_dir
@@ -277,6 +277,23 @@ class Trainer:
                 self.logger.print_log(f"\tIter {i} Done. | {line}")
 
         pending: deque = deque()
+
+        def drain():
+            # every pending step's metrics in ONE device->host transfer:
+            # a float() on a device scalar pays a full tunnel RTT (~30 ms
+            # here — 2x the step itself), and consume() reads several
+            # keys, so per-key fetches made the user-level epoch rate
+            # 4-8x slower than the jitted step rate. jax.device_get
+            # issues all copies before blocking, so a drain costs one
+            # RTT per metrics_lag steps (measured: tools/bench_epoch.py).
+            # Values, order, and per-step check_finite/logging semantics
+            # are unchanged — only fetch granularity moves.
+            items = list(pending)
+            pending.clear()
+            fetched = jax.device_get([m for _, m in items])
+            for (i, _), m in zip(items, fetched):
+                consume(i, m)
+
         for i, batch in self._epoch_batches(max_iters):
             self.state, metrics = self.train_step(
                 self.state, self._put(batch), self._next_rng(), gan_on=gan_on,
@@ -284,9 +301,9 @@ class Trainer:
             )
             pending.append((i, metrics))
             if len(pending) > self.metrics_lag:
-                consume(*pending.popleft())
-        while pending:
-            consume(*pending.popleft())
+                drain()
+        if pending:
+            drain()
         if n == 0:  # no trimodal comparator anywhere this epoch
             total, n = total_l1, n_l1
         self.logger.print_log(

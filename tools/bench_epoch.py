@@ -46,10 +46,25 @@ def main(argv=None):
     from speech2affective_gestures_tpu.train.trainer import Trainer
 
     cfg = ModelConfig(batch_size=args.batch_size, loss_warmup=-1)
-    videos = ted_db.make_synthetic_videos(n_videos=4, clip_seconds=20.0)
-    ds = ted_db.build_dataset_from_videos(videos, cfg, keep_sidecars=False)
+    # the corpus must actually SUSTAIN the requested iteration count:
+    # an epoch is n_samples // batch_size sampler batches, so undersizing
+    # silently shrinks the epoch and wall/args.iters reports nonsense
+    # (the first TPU run of this tool did exactly that: 1-iteration
+    # epochs divided by 40 printed an impossible 6 ms/step)
+    need = (args.iters + 4) * args.batch_size
+    n_videos, clip_seconds = 8, 60.0
+    while True:
+        videos = ted_db.make_synthetic_videos(
+            n_videos=n_videos, clip_seconds=clip_seconds)
+        ds = ted_db.build_dataset_from_videos(videos, cfg,
+                                              keep_sidecars=False)
+        if ds.n_samples >= need:
+            break
+        n_videos *= 2
 
     import tempfile
+
+    import numpy as np
 
     trainers = {}
     for lag in (int(x) for x in args.lags.split(",")):
@@ -57,22 +72,37 @@ def main(argv=None):
                     train_data=ds, val_data=ds, seed=3, metrics_lag=lag)
         t.epoch = 1
         t.logger.print_log = lambda *a, **k: None  # logging off the clock
+        # count the steps that actually run (assert the epoch sustained
+        # the requested count — see the corpus sizing above)
+        t._n_steps = 0
+        inner = t.train_step
+
+        def counted(st, b, r, _t=t, _inner=inner, **kw):
+            _t._n_steps += 1
+            return _inner(st, b, r, **kw)
+
+        t.train_step = counted
         t.per_train_epoch(log_interval=10**9, max_iters=4)  # compile+warm
         trainers[lag] = t
 
     results = {lag: [] for lag in trainers}
     for _ in range(args.reps):
         for lag, t in trainers.items():
+            t._n_steps = 0
             t0 = time.perf_counter()
             t.per_train_epoch(log_interval=10**9, max_iters=args.iters)
-            results[lag].append((time.perf_counter() - t0) / args.iters)
-
-    import numpy as np
+            dt = time.perf_counter() - t0
+            assert t._n_steps == args.iters, (
+                f"epoch ran {t._n_steps} steps, requested {args.iters} — "
+                "corpus too small, numbers would be garbage"
+            )
+            results[lag].append(dt / t._n_steps)
 
     for lag, times in results.items():
         med = float(np.median(times))
         print(json.dumps({
             "metrics_lag": lag, "batch_size": args.batch_size,
+            "iters": args.iters,
             "ms_per_iter": round(med * 1e3, 2),
             "iters_per_sec": round(1.0 / med, 2),
             "samples_ms": [round(x * 1e3, 2) for x in sorted(times)],
