@@ -263,6 +263,10 @@ class DeviceDataset:
                 )
             return batch
 
+        # raw (unjitted) gather: the trainer's K-steps-per-program scan
+        # inlines it inside the epoch program so the batch never exists as
+        # a standalone device buffer between gather and step
+        self.gather_fn = gather
         self._gather = jax.jit(gather)
 
     def batch(self, idx: np.ndarray, adv_vids: np.ndarray) -> dict:

@@ -100,6 +100,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "steps so host dispatch runs ahead of the "
                         "per-step device->host sync (pure scheduling — "
                         "identical logged numbers; 0 = fetch every step)")
+    p.add_argument("--steps-per-program", type=int, default=1,
+                   help="run K train steps as ONE device program (lax.scan "
+                        "over presampled batch indices, gather in-program): "
+                        "one dispatch + one metrics fetch per K steps. Same "
+                        "draws and step formulas as the per-step loop, "
+                        "equal to float rounding (XLA compiles the scan "
+                        "body with different fusion choices) — opt-in; 1 = "
+                        "bit-level parity. Needs the single-device "
+                        "'device' loader and trimodal-metric-interval 1")
     p.add_argument("--trimodal-metric-interval", type=int, default=1,
                    help="compute the frozen-trimodal comparison metric "
                         "every K-th train step (1 = every step = reference "
@@ -238,6 +247,7 @@ def main(argv=None, variant: str = "s2ag"):
         fused_pass=args.fused_pass,
         remat=args.remat,
         metrics_lag=args.metrics_lag,
+        steps_per_program=args.steps_per_program,
     )
     trainer.logger.save_arg(vars(args))
     if not args.apply_lr_decay:

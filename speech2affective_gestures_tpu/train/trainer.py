@@ -26,8 +26,10 @@ from collections import deque
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
+from functools import partial
 
 from ..config import ModelConfig
 from ..data.ted_db import BatchSampler, DeviceBatchSampler, DeviceDataset, PackedDataset
@@ -96,6 +98,7 @@ class Trainer:
         fused_pass: bool = False,
         remat: str = "none",
         metrics_lag: int = 8,
+        steps_per_program: int = 1,
     ):
         self.cfg = cfg
         self.work_dir = work_dir
@@ -122,6 +125,17 @@ class Trainer:
         # are identical, and check_finite still halts (up to `lag` steps
         # after the offending iteration, which the error names).
         self.metrics_lag = max(0, metrics_lag)
+        # run K train steps as ONE device program (lax.scan over host-
+        # presampled batch indices, the batch gather inlined in-program):
+        # one dispatch + one metrics fetch per K steps instead of per step.
+        # Same index/speaker/rng draw sequence and same step formulas as
+        # the per-step loop, equal to float rounding (XLA compiles the scan
+        # body with different fusion choices — see _get_multi_step);
+        # check_finite granularity coarsens to the program (the error still
+        # names the exact iter). Opt-in; default 1 = bit-level parity.
+        # Requires the single-device device-resident loader (falls back
+        # with a warning otherwise — see __init__ tail).
+        self.steps_per_program = max(1, steps_per_program)
 
         ref = train_data or val_data or test_data
         n_words = ref.lang_model.n_words if ref and ref.lang_model else 1000
@@ -203,6 +217,16 @@ class Trainer:
         elif loader not in ("device", "grain"):
             raise ValueError(f"unknown loader {loader!r} (device|grain)")
 
+        if (self.steps_per_program > 1 and train_data is not None
+                and not self._use_scanned_epoch()):
+            logging.warning(
+                "steps_per_program=%d requested but the scanned epoch needs "
+                "the single-device 'device' loader and "
+                "trimodal_metric_interval=1; falling back to the per-step "
+                "loop", self.steps_per_program,
+            )
+            self.steps_per_program = 1
+
     # ------------------------------------------------------------- epochs
     def _next_rng(self):
         self.rng, sub = jax.random.split(self.rng)
@@ -245,6 +269,104 @@ class Trainer:
             if max_iters is not None and i >= max_iters:
                 return
             yield i, batch
+
+    # ------------------------------------- K-steps-per-program epoch scan
+    def _use_scanned_epoch(self) -> bool:
+        """The scanned epoch needs the single-device device-resident loader
+        (the program gathers batches from HBM by index) and a per-program-
+        constant trimodal gate (tri_metric is static inside the scan body;
+        interval 1 = reference parity = the default)."""
+        return (
+            self.steps_per_program > 1
+            and self.loader_kind == "device"
+            and self._device_train is not None
+            and self.mesh is None
+            and self.trimodal_metric_interval == 1
+        )
+
+    def _get_multi_step(self):
+        """One jitted program running K train steps: lax.scan over host-
+        presampled (batch-index, adversarial-speaker, rng) triples, the
+        device gather inlined in the body. Dispatch and the metrics fetch
+        amortize over K. The body inlines the exact per-step train_step on
+        the exact per-step draw streams, but XLA compiles a while-loop body
+        with different fusion/scheduling choices than the standalone step
+        program, so values agree only to float rounding (measured ~1e-7
+        relative on step-1 losses; verified NOT fixable by
+        optimization_barrier at the gather/step boundaries — the rounding
+        moves inside the step's own ops). GAN dynamics amplify any epsilon
+        chaotically downstream, hence opt-in with default 1 = bit-level
+        parity with the per-step loop, the same policy as --fused-pass /
+        --mixed-precision. tests/test_steps_per_program.py pins the draw
+        streams and the rounding-level agreement."""
+        if getattr(self, "_multi_step", None) is not None:
+            return self._multi_step
+        gather = self._device_train.gather_fn
+        step = self.train_step
+
+        @partial(jax.jit, static_argnames=("gan_on",), donate_argnums=(0,))
+        def multi_step(state, arrays, idx, adv, rngs, gan_on):
+            def body(s, xs):
+                i, a, r = xs
+                return step(s, gather(arrays, i, a), r,
+                            gan_on=gan_on, tri_metric=True)
+
+            return jax.lax.scan(body, state, (idx, adv, rngs))
+
+        self._multi_step = multi_step
+        return multi_step
+
+    def _run_scanned_epoch(self, gan_on: bool, consume, max_iters):
+        """Epoch driver for steps_per_program > 1. Host draws follow the
+        exact per-step order (index draw, then adversarial-speaker draw,
+        then rng split — per step), so the sampled stream matches the
+        per-step loop element for element."""
+        bs = self.cfg.batch_size
+        sampler = BatchSampler(self.train_data, bs,
+                               seed=self.epoch * 7919 + 1)
+        steps = sampler.pseudo_passes()
+        if max_iters is not None:
+            steps = min(steps, max_iters)
+        arrays = self._device_train.arrays
+        multi_step = self._get_multi_step()
+        pending: deque = deque()  # (first_iter, k, stacked metrics)
+        pend_steps = 0
+
+        def drain():
+            nonlocal pend_steps
+            items = list(pending)
+            pending.clear()
+            pend_steps = 0
+            fetched = jax.device_get([m for *_, m in items])
+            for (start, k, _), m in zip(items, fetched):
+                for j in range(k):
+                    consume(start + j, {key: v[j] for key, v in m.items()})
+
+        done = 0
+        while done < steps:
+            k = min(self.steps_per_program, steps - done)
+            idx = np.empty((k, bs), np.int32)
+            adv = np.empty((k, bs), np.int32)
+            rngs = []
+            for j in range(k):
+                row = sampler.sample_indices()
+                idx[j] = row
+                adv[j] = sampler.adversarial_speakers(
+                    self.train_data.vid_indices[row]
+                )
+                rngs.append(self._next_rng())
+            self.state, metrics = multi_step(
+                self.state, arrays, jnp.asarray(idx), jnp.asarray(adv),
+                jnp.stack(rngs), gan_on=gan_on,
+            )
+            pending.append((done, k, metrics))
+            pend_steps += k
+            done += k
+            if pend_steps > self.metrics_lag:
+                drain()
+        if pending:
+            drain()
+        return done
 
     def per_train_epoch(self, log_interval: int = 50,
                         max_iters: int | None = None) -> float:
@@ -294,16 +416,20 @@ class Trainer:
             for (i, _), m in zip(items, fetched):
                 consume(i, m)
 
-        for i, batch in self._epoch_batches(max_iters):
-            self.state, metrics = self.train_step(
-                self.state, self._put(batch), self._next_rng(), gan_on=gan_on,
-                tri_metric=(tri_every == 1 or i % tri_every == 0),
-            )
-            pending.append((i, metrics))
-            if len(pending) > self.metrics_lag:
+        if self._use_scanned_epoch():
+            self._run_scanned_epoch(gan_on, consume, max_iters)
+        else:
+            for i, batch in self._epoch_batches(max_iters):
+                self.state, metrics = self.train_step(
+                    self.state, self._put(batch), self._next_rng(),
+                    gan_on=gan_on,
+                    tri_metric=(tri_every == 1 or i % tri_every == 0),
+                )
+                pending.append((i, metrics))
+                if len(pending) > self.metrics_lag:
+                    drain()
+            if pending:
                 drain()
-        if pending:
-            drain()
         if n == 0:  # no trimodal comparator anywhere this epoch
             total, n = total_l1, n_l1
         self.logger.print_log(
@@ -316,10 +442,16 @@ class Trainer:
         sampler = BatchSampler(self.val_data, self.cfg.batch_size, seed=999)
         gan_on = self.epoch > self.gan_cfg.loss_warmup
         total, n = 0.0, 0
+        collected = []
         for batch in sampler:
             _, metrics = self.eval_step(
                 self.state, self._put(batch), self._next_rng(), gan_on=gan_on
             )
+            # defer the device->host sync: one drain for the whole val
+            # epoch instead of one ~30 ms tunnel RTT per batch (same
+            # values, same mean — pure fetch granularity)
+            collected.append(metrics)
+        for metrics in jax.device_get(collected):
             total += float(metrics.get("s2ag_vs_trimodal_l1", metrics["s2ag_l1"]))
             n += 1
         mean = total / max(n, 1)

@@ -1,0 +1,99 @@
+"""K-steps-per-program scanned epoch (Trainer(steps_per_program=K)).
+
+The scanned epoch runs K train steps as one lax.scan device program with
+the batch gather inlined, amortizing dispatch and the metrics fetch over
+K (reference hot loop: processor_v2.py:959-991). It replays the per-step
+loop's exact host draw streams (batch indices, adversarial speakers, rng
+splits) and inlines the exact per-step train_step — but XLA compiles a
+while-loop body with different fusion choices than the standalone step,
+so values agree to float rounding only (verified not fixable with
+optimization_barrier; the rounding moves inside the step's ops). Hence
+opt-in, default 1 = bit-level parity — same policy as --fused-pass.
+
+The tolerance assertions here ARE the draw-stream test: per-step losses
+vary O(1) across random batches, so agreement at ~1e-4 relative is only
+possible if both paths consumed identical index/speaker/rng streams.
+"""
+
+import re
+import tempfile
+
+import numpy as np
+import pytest
+
+from speech2affective_gestures_tpu.config import ModelConfig
+from speech2affective_gestures_tpu.data import ted_db
+from speech2affective_gestures_tpu.train.trainer import Trainer
+
+
+def _cfg():
+    return ModelConfig(batch_size=4, loss_warmup=-1, n_layers=1,
+                       hidden_size=32, hidden_size_s2eg=32)
+
+
+@pytest.fixture(scope="module")
+def tiny_ds():
+    videos = ted_db.make_synthetic_videos(n_videos=2, clip_seconds=12.0)
+    return ted_db.build_dataset_from_videos(videos, _cfg(),
+                                            keep_sidecars=False)
+
+
+def _run_epoch(ds, spp, max_iters, **kw):
+    t = Trainer(_cfg(), tempfile.mkdtemp(), train_data=ds, seed=3,
+                steps_per_program=spp, metrics_lag=3, **kw)
+    t.epoch = 1
+    logs = []
+    t.logger.print_log = lambda s: logs.append(s)
+    mean = t.per_train_epoch(log_interval=1, max_iters=max_iters)
+    return t, mean, logs
+
+
+def _parse_iter_metrics(logs):
+    """{iter: {name: value}} from the per-iteration log lines."""
+    out = {}
+    for line in logs:
+        m = re.match(r"\s*Iter (\d+) Done\. \| (.*)", line)
+        if not m:
+            continue
+        vals = {}
+        for part in m.group(2).split(" | "):
+            k, v = part.split(": ")
+            vals[k] = float(v)
+        out[int(m.group(1))] = vals
+    return out
+
+
+@pytest.mark.slow
+def test_scanned_epoch_matches_per_step_draws_and_values(tiny_ds):
+    # 7 steps with K=4 also exercises the partial final program (4 + 3)
+    t1, mean1, logs1 = _run_epoch(tiny_ds, spp=1, max_iters=7)
+    t4, mean4, logs4 = _run_epoch(tiny_ds, spp=4, max_iters=7)
+    assert t4._use_scanned_epoch()
+
+    it1, it4 = _parse_iter_metrics(logs1), _parse_iter_metrics(logs4)
+    assert sorted(it1) == sorted(it4) == list(range(7))
+    assert set(it1[0]) == set(it4[0])  # same metric keys, incl. trimodal
+
+    # iter 0 runs on identical state + identical batch: any difference is
+    # pure compile-level rounding (observed ~1e-7 relative)
+    for k in it1[0]:
+        np.testing.assert_allclose(it1[0][k], it4[0][k], rtol=1e-3,
+                                   atol=1e-4, err_msg=f"iter0 {k}")
+    # downstream iters: GAN dynamics amplify the epsilon, but the values
+    # must track far tighter than the O(1) batch-to-batch loss variation
+    for i in range(1, 7):
+        np.testing.assert_allclose(
+            it1[i]["s2ag_l1"], it4[i]["s2ag_l1"], rtol=0.05,
+            err_msg=f"iter{i}",
+        )
+    np.testing.assert_allclose(mean1, mean4, rtol=0.05, atol=5e-3)
+
+
+def test_fallback_to_per_step_when_ineligible(tiny_ds):
+    # trimodal interval > 1 makes the per-step tri gate non-constant inside
+    # a program: the trainer must fall back instead of silently changing
+    # the metric schedule
+    t = Trainer(_cfg(), tempfile.mkdtemp(), train_data=tiny_ds, seed=3,
+                steps_per_program=4, trimodal_metric_interval=2)
+    assert t.steps_per_program == 1
+    assert not t._use_scanned_epoch()

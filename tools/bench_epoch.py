@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=40)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--lags", default="0,2,8")
+    p.add_argument("--spps", default="1",
+                   help="comma list of steps_per_program values; each "
+                        "(lag, spp) combo gets its own trainer, "
+                        "interleaved")
     args = p.parse_args(argv)
 
     from speech2affective_gestures_tpu import compile_cache
@@ -67,27 +71,42 @@ def main(argv=None):
     import numpy as np
 
     trainers = {}
-    for lag in (int(x) for x in args.lags.split(",")):
+    combos = [(int(l), int(s)) for l in args.lags.split(",")
+              for s in args.spps.split(",")]
+    for lag, spp in combos:
         t = Trainer(cfg, tempfile.mkdtemp(prefix=f"bench_lag{lag}_"),
-                    train_data=ds, val_data=ds, seed=3, metrics_lag=lag)
+                    train_data=ds, val_data=ds, seed=3, metrics_lag=lag,
+                    steps_per_program=spp)
         t.epoch = 1
         t.logger.print_log = lambda *a, **k: None  # logging off the clock
         # count the steps that actually run (assert the epoch sustained
         # the requested count — see the corpus sizing above)
         t._n_steps = 0
-        inner = t.train_step
+        if spp > 1:
+            # a train_step wrapper would count TRACE-time calls (once per
+            # scan body), so count executed steps at the program boundary
+            ms = t._get_multi_step()
 
-        def counted(st, b, r, _t=t, _inner=inner, **kw):
-            _t._n_steps += 1
-            return _inner(st, b, r, **kw)
+            def counted_ms(state, arrays, idx, adv, rngs, gan_on,
+                           _t=t, _ms=ms):
+                _t._n_steps += int(idx.shape[0])
+                return _ms(state, arrays, idx, adv, rngs, gan_on=gan_on)
 
-        t.train_step = counted
-        t.per_train_epoch(log_interval=10**9, max_iters=4)  # compile+warm
-        trainers[lag] = t
+            t._get_multi_step = lambda _f=counted_ms: _f
+        else:
+            inner = t.train_step
 
-    results = {lag: [] for lag in trainers}
+            def counted(st, b, r, _t=t, _inner=inner, **kw):
+                _t._n_steps += 1
+                return _inner(st, b, r, **kw)
+
+            t.train_step = counted
+        t.per_train_epoch(log_interval=10**9, max_iters=max(4, spp))
+        trainers[(lag, spp)] = t
+
+    results = {key: [] for key in trainers}
     for _ in range(args.reps):
-        for lag, t in trainers.items():
+        for key, t in trainers.items():
             t._n_steps = 0
             t0 = time.perf_counter()
             t.per_train_epoch(log_interval=10**9, max_iters=args.iters)
@@ -96,12 +115,13 @@ def main(argv=None):
                 f"epoch ran {t._n_steps} steps, requested {args.iters} — "
                 "corpus too small, numbers would be garbage"
             )
-            results[lag].append(dt / t._n_steps)
+            results[key].append(dt / t._n_steps)
 
-    for lag, times in results.items():
+    for (lag, spp), times in results.items():
         med = float(np.median(times))
         print(json.dumps({
-            "metrics_lag": lag, "batch_size": args.batch_size,
+            "metrics_lag": lag, "steps_per_program": spp,
+            "batch_size": args.batch_size,
             "iters": args.iters,
             "ms_per_iter": round(med * 1e3, 2),
             "iters_per_sec": round(1.0 / med, 2),
