@@ -131,19 +131,39 @@ def make_mesh_2d(n_data: int, n_model: int, devices=None) -> Mesh:
     return Mesh(arr, ("data", "model"))
 
 
-def shard_params_2d(tree, mesh: Mesh, min_rows: int = 1024):
+def shard_params_2d(tree, mesh: Mesh, min_rows: int = 1024,
+                    tp_min_cols: int | None = None):
     """Shard large 2-D tables row-wise over 'model'; replicate the rest.
 
     Row-sharding an embedding table is safe under jit: gathers become
     all-gather-free partial lookups + collective combine, inserted by XLA.
+
+    With `tp_min_cols` set, wide 2-D kernels (Linear (in, out), GRU/LSTM
+    gate matrices (cin, n_gates*H)) whose column count is >= tp_min_cols
+    and divisible by the 'model' axis are additionally COLUMN-sharded
+    (tensor parallelism): each device owns a contiguous slice of output
+    features, XLA partitions the matmul over output columns and inserts
+    the all-gather/reduce-scatter where a consumer needs the full feature
+    axis (gate slicing, elementwise recurrence). Semantics are identical
+    to the replicated layout by GSPMD construction — pinned against the
+    single-device step in tests/test_mesh_2d.py and __graft_entry__'s
+    dryrun. Row-sharding (embeddings) wins the tie: a table that
+    qualifies for both stays row-sharded, because embedding lookups touch
+    rows, not columns.
     """
     rep = NamedSharding(mesh, P())
     row_sharded = NamedSharding(mesh, P("model", None))
+    col_sharded = NamedSharding(mesh, P(None, "model"))
+    n_model = mesh.shape["model"]
 
     def place(x):
-        if hasattr(x, "ndim") and x.ndim == 2 and x.shape[0] >= min_rows \
-                and x.shape[0] % mesh.shape["model"] == 0:
+        if not hasattr(x, "ndim") or x.ndim != 2:
+            return jax.device_put(x, rep)
+        if x.shape[0] >= min_rows and x.shape[0] % n_model == 0:
             return jax.device_put(x, row_sharded)
+        if tp_min_cols is not None and x.shape[1] >= tp_min_cols \
+                and x.shape[1] % n_model == 0:
+            return jax.device_put(x, col_sharded)
         return jax.device_put(x, rep)
 
     return jax.tree.map(place, tree)

@@ -115,6 +115,55 @@ def test_mesh_step_numerically_equals_single_device(mesh_2d):
         multi_state.gen_stats, single_state.gen_stats,
     )
 
+def test_tensor_parallel_step_numerically_equals_single_device(mesh_2d):
+    """tp_min_cols column-shards the wide gate kernels over 'model'
+    (tensor parallelism): the step must still match the single-device
+    step bit-for-float — GSPMD inserts the collectives, semantics are
+    unchanged (same invariant as the row-sharded test above)."""
+    cfg = ModelConfig(hidden_size=32, hidden_size_s2eg=32, n_layers=2)
+    setup = builder.init_training(
+        cfg, jax.random.key(0), n_words=2048, n_speakers=10,
+        with_trimodal=False,
+    )
+    host_batch = builder.synthetic_batch(
+        np.random.default_rng(3), 8, cfg, 2048, 10
+    )
+    host_state = jax.device_get(setup["state"])
+    state = pmesh.shard_params_2d(host_state, mesh_2d,
+                                  tp_min_cols=3 * cfg.hidden_size)
+    # the GRU gate matrices (cin, 3H) must actually be column-sharded
+    col = [x for x in jax.tree.leaves(state.gen_params)
+           if getattr(x, "ndim", 0) == 2
+           and tuple(x.sharding.spec) == (None, "model")]
+    assert col, "no kernel picked up the (None, 'model') tp sharding"
+    step = pmesh.data_parallel_step(setup["train_step"], mesh_2d)
+    multi_state, multi_metrics = step(
+        state, pmesh.shard_batch(dict(host_batch), mesh_2d),
+        jax.random.key(9), gan_on=True,
+    )
+    single_state, single_metrics = setup["train_step"](
+        jax.device_put(host_state), jax.device_put(host_batch),
+        jax.random.key(9), gan_on=True,
+    )
+    for k in single_metrics:
+        np.testing.assert_allclose(
+            float(multi_metrics[k]), float(single_metrics[k]),
+            rtol=1e-3, atol=1e-5, err_msg=f"metric {k}",
+        )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b)),
+            rtol=1e-4, atol=1.1e-3,
+        ),
+        multi_state.gen_params, single_state.gen_params,
+    )
+    # updated tp kernels keep their column sharding through the optimizer
+    still_col = [x for x in jax.tree.leaves(multi_state.gen_params)
+                 if getattr(x, "ndim", 0) == 2
+                 and tuple(x.sharding.spec) == (None, "model")]
+    assert len(still_col) == len(col)
+
+
 def test_mixed_precision_step_on_mesh(mesh_2d):
     """Production mode is mixed precision + data parallelism together: the
     bf16 step must run under the 8-device mesh with finite metrics and f32
