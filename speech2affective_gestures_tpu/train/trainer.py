@@ -305,13 +305,24 @@ class Trainer:
         step = self.train_step
 
         @partial(jax.jit, static_argnames=("gan_on",), donate_argnums=(0,))
-        def multi_step(state, arrays, idx, adv, rngs, gan_on):
-            def body(s, xs):
-                i, a, r = xs
-                return step(s, gather(arrays, i, a), r,
+        def multi_step(state, arrays, idx, adv, rng, gan_on):
+            # the per-step rng chain (`self.rng, sub = split(self.rng)`)
+            # runs INSIDE the program: the same split ops in the same
+            # order produce bit-identical sub keys, while the host stops
+            # paying K tiny split dispatches + a jnp.stack of K keys per
+            # program (the stack alone measured ~10 ms on this host —
+            # more than half the scanned epoch's host residual)
+            def body(carry, xs):
+                s, r = carry
+                i, a = xs
+                r, sub = jax.random.split(r)
+                s, m = step(s, gather(arrays, i, a), sub,
                             gan_on=gan_on, tri_metric=True)
+                return (s, r), m
 
-            return jax.lax.scan(body, state, (idx, adv, rngs))
+            (state, rng), metrics = jax.lax.scan(
+                body, (state, rng), (idx, adv))
+            return state, rng, metrics
 
         self._multi_step = multi_step
         return multi_step
@@ -347,17 +358,15 @@ class Trainer:
             k = min(self.steps_per_program, steps - done)
             idx = np.empty((k, bs), np.int32)
             adv = np.empty((k, bs), np.int32)
-            rngs = []
             for j in range(k):
                 row = sampler.sample_indices()
                 idx[j] = row
                 adv[j] = sampler.adversarial_speakers(
                     self.train_data.vid_indices[row]
                 )
-                rngs.append(self._next_rng())
-            self.state, metrics = multi_step(
+            self.state, self.rng, metrics = multi_step(
                 self.state, arrays, jnp.asarray(idx), jnp.asarray(adv),
-                jnp.stack(rngs), gan_on=gan_on,
+                self.rng, gan_on=gan_on,
             )
             pending.append((done, k, metrics))
             pend_steps += k

@@ -87,10 +87,10 @@ def main(argv=None):
             # scan body), so count executed steps at the program boundary
             ms = t._get_multi_step()
 
-            def counted_ms(state, arrays, idx, adv, rngs, gan_on,
+            def counted_ms(state, arrays, idx, adv, rng, gan_on,
                            _t=t, _ms=ms):
                 _t._n_steps += int(idx.shape[0])
-                return _ms(state, arrays, idx, adv, rngs, gan_on=gan_on)
+                return _ms(state, arrays, idx, adv, rng, gan_on=gan_on)
 
             t._get_multi_step = lambda _f=counted_ms: _f
         else:
