@@ -6,7 +6,8 @@ backwards — exactly the work of reference forward_pass_s2ag,
 processor_v2.py:776-957) at the paper's full configuration (hidden 300,
 4-layer bi-GRUs) across batch sizes, and prints ONE JSON line carrying
 steps/s at the paper batch (128), the best samples/s configuration, and
-MFU from XLA's compiled cost analysis.
+MFU from the analytic jaxpr flop count (train/flops.py; XLA's own cost
+analysis, when the platform provides one, is recorded as a cross-check).
 
 MEASUREMENT HONESTY (the round-2 verdict found block_until_ready returns
 early on this platform, inflating rates ~6x):
@@ -27,6 +28,7 @@ misreading; vs_baseline mirrors it because the driver requires that key.
 
 import json
 import os
+import sys
 
 import numpy as np
 
@@ -37,7 +39,10 @@ from speech2affective_gestures_tpu import compile_cache
 compile_cache.enable()  # persistent XLA cache (S2AG_COMPILE_CACHE=0 to off)
 
 from speech2affective_gestures_tpu.config import ModelConfig
+from speech2affective_gestures_tpu.models import layers
+from speech2affective_gestures_tpu.ops import backend
 from speech2affective_gestures_tpu.train import builder
+from speech2affective_gestures_tpu.train import flops as flops_mod
 from speech2affective_gestures_tpu.train import timing
 
 # steps/sec of the reference's own modules running the same step on
@@ -67,57 +72,55 @@ PEAK_FLOPS = {
 }
 
 
-def _cost_flops(train_step, state, batch, key):
-    """FLOPs of one compiled train step from XLA cost analysis (validated
-    against analytic FLOPs on a control matmul in tests/test_bench_timing)."""
+def _xla_cost_flops(train_step, state, batch, key):
+    """XLA's own flop count of the compiled program — recorded as a cross-
+    check when the platform provides it, NEVER as the MFU numerator.
+
+    Returns (flops | None, error_message | None). A None result is LOUD:
+    the cause is returned and printed to stderr by the caller; it does not
+    silently null out the artifact (BENCH_r03 regression)."""
     try:
         lowered = train_step.lower(state, batch, key, gan_on=True)
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        return float(cost.get("flops", 0.0)) or None
-    except Exception:
-        return None
+            cost = cost[0] if cost else None
+        if cost is None:
+            return None, "cost_analysis() returned None (unsupported on this platform/JAX version)"
+        flops = float(cost.get("flops", -1.0))
+        if flops <= 0:
+            return None, f"cost_analysis() has no positive 'flops' entry (got {flops})"
+        return flops, None
+    except Exception as e:  # noqa: BLE001 — reported, not swallowed
+        return None, f"{type(e).__name__}: {e}"
 
 
-def _canonical_flops(cfg, batch_size, key):
-    """Algorithmic FLOPs per step: XLA cost analysis of the lax.scan-engine
-    program on UNOPTIMIZED HLO (Lowered.cost_analysis — no backend compile).
+def _canonical_flops(cfg, batch_size):
+    """Algorithmic FLOPs per step — the MFU numerator for every engine and
+    precision: an analytic jaxpr walk (train/flops.py) of the lax.scan-
+    engine step, abstract tracing only (no compile, no device work).
 
-    This is the MFU numerator for every engine/precision. Counting the
-    flops of whatever program actually runs would let backend padding
-    inflate 'utilization': the pallas-v2 GRU pre-pads gate columns inside
-    the weight matrices (ops/gru_pallas.py), so ITS compiled count is ~40%
-    higher than the same math unpadded — pad flops do no useful work. The
-    scan program is the reference semantics with no TPU-specific padding;
-    its count is the work a user bought, whichever engine delivers it.
-    (BENCH_r02's 315G/step was yet another variant: the pallas-v1 adapter
-    kept recurrent matmuls inside an uncounted custom call — UNDERcounting.
-    Fixed denominator, comparable across rounds, from here on.)
-    """
-    prev = os.environ.get("S2AG_GRU_ENGINE")
-    os.environ["S2AG_GRU_ENGINE"] = "scan"
-    try:
-        setup = builder.init_training(
-            cfg, jax.random.key(0), n_words=1000, n_speakers=100
-        )
-        batch = builder.synthetic_batch(
-            np.random.default_rng(0), batch_size, cfg, 1000, 100
-        )
-        lowered = setup["train_step"].lower(
-            setup["state"], batch, key, gan_on=True
-        )
-        cost = lowered.cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        return float(cost.get("flops", 0.0)) or None
-    except Exception:
-        return None
-    finally:
-        if prev is None:
-            os.environ.pop("S2AG_GRU_ENGINE", None)
-        else:
-            os.environ["S2AG_GRU_ENGINE"] = prev
+    Counting the flops of whatever program actually runs would let backend
+    padding inflate 'utilization': the pallas-v2 GRU pre-pads gate columns
+    inside the weight matrices (ops/gru_pallas.py), so ITS compiled count
+    is ~40% higher than the same math unpadded — pad flops do no useful
+    work. The scan program is the reference semantics with no TPU-specific
+    padding; its count is the work a user bought, whichever engine
+    delivers it.
+
+    History of this number at bs128 (so rounds stay comparable):
+    - r2 "315G": pallas-v1 adapter hid recurrent matmuls in an uncounted
+      custom call — UNDERcounted;
+    - r5 "307.7G": XLA Lowered.cost_analysis() on unoptimized HLO — which
+      counts while-loop (lax.scan) bodies ONCE, undercounting the T=34
+      recurrences; that API also started returning None in JAX 0.9
+      (=> BENCH_r03's mfu:null);
+    - now: 427G analytic (99.3% of it exact dot/conv math, trip counts
+      included; tests/test_flops.py pins the convention). Fixed
+      denominator from here on.
+
+    Raises on failure — a bench run without a flops count must fail
+    loudly, not publish null (round-3 verdict item 1)."""
+    return flops_mod.canonical_train_step_flops(cfg, batch_size)
 
 
 def _measure(train_step, state, batch, key):
@@ -159,6 +162,21 @@ def main():
     # MFU denominator: the spec-sheet peak when known, else the measured one
     peak = peak_spec or peak_measured
 
+    # which GRU engine the measured programs trace with (resolved via the
+    # shared backend helper — round-3 verdict: a silent pallas->scan
+    # fallback must be visible in the artifact)
+    gru_engine = layers._gru_engine()
+
+    # XLA's own count as a cross-check, loud when unavailable
+    xla_batch = jax.device_put(builder.synthetic_batch(
+        np.random.default_rng(0), HEADLINE_BATCH, cfg, 1000, 100
+    ))
+    flops_xla, flops_xla_err = _xla_cost_flops(train_step, state, xla_batch, key)
+    if flops_xla_err is not None:
+        print(f"bench: XLA cost analysis unavailable ({flops_xla_err}); "
+              "MFU uses the analytic jaxpr count (train/flops.py)",
+              file=sys.stderr)
+
     results = {}
     for bs in sorted(set(SWEEP_BATCHES) | {HEADLINE_BATCH}):
         batch = jax.device_put(builder.synthetic_batch(
@@ -166,8 +184,8 @@ def main():
         ))
         res = _measure(train_step, state, batch, key)
         steps_per_sec = res["steps_per_sec"]
-        flops = _canonical_flops(cfg, bs, key)
-        mfu = (flops * steps_per_sec / peak) if (flops and peak) else None
+        flops = _canonical_flops(cfg, bs)  # raises on failure — no nulls
+        mfu = (flops * steps_per_sec / peak) if peak else None
         if mfu is not None and mfu > 1.0:
             raise SystemExit(
                 f"IMPOSSIBLE MFU {mfu:.3f} at batch {bs} "
@@ -199,7 +217,7 @@ def main():
     # same canonical (useful-work) numerator as the f32 rows: bf16 does
     # the same math, so its MFU is directly comparable
     mp_flops = results[HEADLINE_BATCH]["flops_per_step"]
-    mp_mfu = (mp_flops * mp_steps / peak) if (mp_flops and peak) else None
+    mp_mfu = (mp_flops * mp_steps / peak) if peak else None
     if mp_mfu is not None and mp_mfu > 1.0:
         raise SystemExit(f"IMPOSSIBLE mixed-precision MFU {mp_mfu:.3f}")
 
@@ -225,21 +243,25 @@ def main():
         "peak_flops_measured": (round(peak_measured / 1e12, 1) * 1e12
                                 if peak_measured else None),
         "samples_per_sec": round(head["samples_per_sec"], 1),
-        "mfu": round(head["mfu"], 4) if head["mfu"] else None,
+        "mfu": round(head["mfu"], 4) if head["mfu"] is not None else None,
         "flops_per_step": head["flops_per_step"],
-        "flops_model": "scan_engine_unoptimized_hlo",
+        "flops_model": "analytic_jaxpr_scan_engine",
+        "flops_xla": flops_xla,
+        "flops_xla_error": flops_xla_err,
+        "gru_engine": gru_engine,
+        "backend": backend.backend_name(),
         "slope_samples_ms_bs128": head["slope_samples_ms"],
         "best_config": {
             "batch_size": best_bs,
             "steps_per_sec": round(best["steps_per_sec"], 3),
             "samples_per_sec": round(best["samples_per_sec"], 1),
-            "mfu": round(best["mfu"], 4) if best["mfu"] else None,
+            "mfu": round(best["mfu"], 4) if best["mfu"] is not None else None,
         },
         "mixed_precision": {
             "batch_size": HEADLINE_BATCH,
             "steps_per_sec": round(mp_steps, 3),
             "samples_per_sec": round(mp_steps * HEADLINE_BATCH, 1),
-            "mfu": round(mp_mfu, 4) if mp_mfu else None,
+            "mfu": round(mp_mfu, 4) if mp_mfu is not None else None,
             "note": "bf16 step, f32 master weights/BN stats/eval "
                     "(--mixed-precision); headline stays the f32 "
                     "parity-faithful step",

@@ -49,21 +49,24 @@ def _gru_engine() -> str:
     A 'pallas' override off-TPU is rejected with a warning (the compiled
     kernel only targets TPU; tests exercise it on CPU via interpret mode
     explicitly, not through this switch)."""
+    from ..ops import backend as _backend
+
     env = os.environ.get("S2AG_GRU_ENGINE", "")
-    backend = jax.default_backend()
-    if (env == "pallas" and backend != "tpu"
+    on_tpu = _backend.is_tpu()
+    if (env == "pallas" and not on_tpu
             and os.environ.get("S2AG_GRU_PALLAS_INTERPRET", "") != "1"):
         import warnings
 
         warnings.warn(
-            f"S2AG_GRU_ENGINE=pallas ignored on backend '{backend}' "
-            "(compiled kernel is TPU-only); falling back to 'scan'.",
+            f"S2AG_GRU_ENGINE=pallas ignored on backend "
+            f"'{_backend.backend_name()}' (compiled kernel is TPU-only); "
+            "falling back to 'scan'.",
             stacklevel=2,
         )
         return "scan"
     if env in ("pallas", "scan"):
         return env
-    return "pallas" if backend == "tpu" else "scan"
+    return "pallas" if on_tpu else "scan"
 
 
 # --------------------------------------------------------------------------

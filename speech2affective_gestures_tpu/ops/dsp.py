@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import backend
 from . import dsp_ref
 
 
@@ -135,10 +136,14 @@ def get_mfcc_features(
 def get_mfcc_features_fast(
     audio: jax.Array, sr: int = 16000, num_mfcc: int = 14
 ) -> jax.Array:
-    """get_mfcc_features via the fused Pallas mel kernel on TPU (about 2x
-    the XLA path on v5e); falls back to the XLA path on non-TPU backends
-    (the kernel uses pltpu memory spaces)."""
-    if jax.default_backend() not in ("tpu", "axon"):
+    """get_mfcc_features via the fused Pallas mel kernel on TPU.
+
+    Honest measurement (docs/PERFORMANCE.md): the two paths are a
+    statistical TIE on v5e (1.41 vs 1.39 ms/batch-128) — current XLA fuses
+    the window->DFT->power->mel chain on its own; the kernel remains as
+    the VMEM-resident alternative. Falls back to the XLA path on non-TPU
+    backends (the kernel uses pltpu memory spaces)."""
+    if not backend.is_tpu():
         return get_mfcc_features(audio, sr=sr, num_mfcc=num_mfcc)
     from . import dsp_pallas
 

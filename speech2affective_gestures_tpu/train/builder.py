@@ -128,32 +128,40 @@ def init_training(
     divreg_draw: str = "permutation",
     fused_pass: bool = False,
     remat: str = "none",
+    abstract: bool = False,
 ):
     """Build modules, init variables, create TrainState + step fns.
 
     mixed_precision=True runs every network forward in bf16 (f32 master
     weights, f32 BN statistics, f32 losses/optimizer) — the standard TPU
-    training recipe; default off for bit-level reference parity."""
+    training recipe; default off for bit-level reference parity.
+
+    abstract=True returns a state of ShapeDtypeStructs (the whole variable
+    init runs under jax.eval_shape — no compile, no device work). Step fns
+    are still returned and can be `.lower()`ed / `make_jaxpr`ed against the
+    abstract state; used by train/flops.py for FLOP accounting."""
     gen, dis, tri = build_models(cfg, n_words, n_speakers, word_embeddings,
                                  variant=variant)
     batch = synthetic_batch(np.random.default_rng(0), 2, cfg, n_words, n_speakers)
     pre_seq = jnp.zeros((2, cfg.n_poses, C.POSE_DIM + 1), jnp.float32)
     gen_audio_key = "audio" if variant == "abl_audio" else "mfcc_features"
 
-    k1, k2, k3, kn = jax.random.split(rng, 4)
-    gen_vars = gen.init(
-        {"params": k1, "noise": kn},
-        pre_seq, jnp.asarray(batch["extended_word_seq"]),
-        jnp.asarray(batch[gen_audio_key]), jnp.asarray(batch["vid_indices"]),
-    )
-    dis_vars = dis.init(k2, jnp.asarray(batch["vec_seq"]))
-    tri_vars = None
-    if with_trimodal:
-        tri_vars = tri.init(
-            {"params": k3, "noise": kn},
+    def _init_vars(rng):
+        k1, k2, k3, kn = jax.random.split(rng, 4)
+        gen_vars = gen.init(
+            {"params": k1, "noise": kn},
             pre_seq, jnp.asarray(batch["extended_word_seq"]),
-            jnp.asarray(batch["audio"]), jnp.asarray(batch["vid_indices"]),
+            jnp.asarray(batch[gen_audio_key]), jnp.asarray(batch["vid_indices"]),
         )
+        dis_vars = dis.init(k2, jnp.asarray(batch["vec_seq"]))
+        tri_vars = None
+        if with_trimodal:
+            tri_vars = tri.init(
+                {"params": k3, "noise": kn},
+                pre_seq, jnp.asarray(batch["extended_word_seq"]),
+                jnp.asarray(batch["audio"]), jnp.asarray(batch["vid_indices"]),
+            )
+        return gen_vars, dis_vars, tri_vars
 
     gan_cfg = GanConfig(
         loss_regression_weight=cfg.loss_regression_weight,
@@ -174,7 +182,13 @@ def init_training(
         fused_pass=fused_pass,
         remat=remat,
     )
-    state = create_train_state(gen_vars, dis_vars, gan_cfg, tri_vars)
+    def _init_state(rng):
+        gen_vars, dis_vars, tri_vars = _init_vars(rng)
+        return create_train_state(gen_vars, dis_vars, gan_cfg, tri_vars)
+
+    # abstract: the whole init (variables + optimizer zeros) stays shape-
+    # level under eval_shape — zero compiles, zero device buffers
+    state = jax.eval_shape(_init_state, rng) if abstract else _init_state(rng)
     tri_apply = tri.apply if with_trimodal else None
     if mixed_precision:
         # bf16 training step from wrapped applies; evaluation stays f32

@@ -157,6 +157,15 @@ def test_tensor_parallel_step_numerically_equals_single_device(mesh_2d):
         ),
         multi_state.gen_params, single_state.gen_params,
     )
+    # BN running stats agree too (same bound + rationale as the row-sharded
+    # test above — a tp-induced BN-stat divergence must not hide)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b)),
+            rtol=5e-3, atol=1e-4,
+        ),
+        multi_state.gen_stats, single_state.gen_stats,
+    )
     # updated tp kernels keep their column sharding through the optimizer
     still_col = [x for x in jax.tree.leaves(multi_state.gen_params)
                  if getattr(x, "ndim", 0) == 2

@@ -218,10 +218,10 @@ def test_mixed_precision_training_converges():
 
 @pytest.mark.slow
 def test_canonical_flops_engine_independent():
-    """bench._canonical_flops: a positive count from the scan-engine
-    unoptimized-HLO cost analysis, unaffected by the caller's engine env
-    (the pallas engine pads gate columns — its compiled count is NOT the
-    useful work; BENCH r02->r05 comparability depends on this)."""
+    """bench._canonical_flops: a positive analytic count (train/flops.py
+    jaxpr walk of the scan-engine step), unaffected by the caller's engine
+    env (the pallas engine pads gate columns — its program's count is NOT
+    the useful work; round-over-round comparability depends on this)."""
     import os
     import sys
 
@@ -234,9 +234,9 @@ def test_canonical_flops_engine_independent():
     prev = os.environ.get("S2AG_GRU_ENGINE")
     try:
         os.environ["S2AG_GRU_ENGINE"] = "pallas"  # must be ignored inside
-        f1 = bench._canonical_flops(cfg, 4, jax.random.key(0))
+        f1 = bench._canonical_flops(cfg, 4)
         os.environ.pop("S2AG_GRU_ENGINE", None)
-        f2 = bench._canonical_flops(cfg, 4, jax.random.key(0))
+        f2 = bench._canonical_flops(cfg, 4)
     finally:
         if prev is None:
             os.environ.pop("S2AG_GRU_ENGINE", None)
@@ -245,5 +245,5 @@ def test_canonical_flops_engine_independent():
     assert f1 and f1 > 1e6
     assert f1 == f2  # caller env does not leak into the canonical count
     # bigger batch => more flops, roughly linear in the batch-linear parts
-    f8 = bench._canonical_flops(cfg, 8, jax.random.key(0))
+    f8 = bench._canonical_flops(cfg, 8)
     assert f8 > f1
