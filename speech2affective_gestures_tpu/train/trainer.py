@@ -286,9 +286,10 @@ class Trainer:
 
     def _get_multi_step(self):
         """One jitted program running K train steps: lax.scan over host-
-        presampled (batch-index, adversarial-speaker, rng) triples, the
-        device gather inlined in the body. Dispatch and the metrics fetch
-        amortize over K. The body inlines the exact per-step train_step on
+        presampled (batch-index, adversarial-speaker) pairs, with the
+        per-step rng chain carried inside the scan (see the inline comment
+        in multi_step) and the device gather inlined in the body. Dispatch
+        and the metrics fetch amortize over K. The body inlines the exact per-step train_step on
         the exact per-step draw streams, but XLA compiles a while-loop body
         with different fusion/scheduling choices than the standalone step
         program, so values agree only to float rounding (measured ~1e-7
@@ -329,9 +330,10 @@ class Trainer:
 
     def _run_scanned_epoch(self, gan_on: bool, consume, max_iters):
         """Epoch driver for steps_per_program > 1. Host draws follow the
-        exact per-step order (index draw, then adversarial-speaker draw,
-        then rng split — per step), so the sampled stream matches the
-        per-step loop element for element."""
+        exact per-step order (index draw, then adversarial-speaker draw —
+        per step), so the sampled stream matches the per-step loop element
+        for element; the rng split chain runs inside the device program
+        (same split ops, same order → bit-identical sub keys)."""
         bs = self.cfg.batch_size
         sampler = BatchSampler(self.train_data, bs,
                                seed=self.epoch * 7919 + 1)
