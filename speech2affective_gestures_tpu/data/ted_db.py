@@ -230,14 +230,22 @@ class DeviceDataset:
     HBM once (audio as int16, MFCC as f16 — the reference's own compact
     dtypes) and a compiled gather assembles each batch on device; the host
     only supplies the (B,) index vector per step.
+
+    With `mesh`, the packed arrays are replicated across the mesh so the
+    scanned-epoch program can gather under data parallelism: with the
+    index vector sharded over 'data', each device gathers only its own
+    batch rows from its local replica — the batch comes out sharded over
+    'data' with zero collectives in the gather.
     """
 
-    def __init__(self, dataset: PackedDataset, include_audio: bool = True):
+    def __init__(self, dataset: PackedDataset, include_audio: bool = True,
+                 mesh=None):
         import jax
         import jax.numpy as jnp
 
         self.ds = dataset
         self.include_audio = include_audio
+        self.mesh = mesh
         arrays = {
             "extended_word_seq": dataset.extended_word_seq.astype(np.int32),
             "vec_seq": dataset.vec_seq.astype(np.float32),
@@ -246,8 +254,15 @@ class DeviceDataset:
         if include_audio:
             arrays["audio"] = dataset.audio  # int16 in HBM
             arrays["audio_max"] = dataset.audio_max.astype(np.float32)
-        self.arrays = {k: jax.device_put(jnp.asarray(v))
-                       for k, v in arrays.items()}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(mesh, PartitionSpec())
+            self.arrays = {k: jax.device_put(jnp.asarray(v), rep)
+                           for k, v in arrays.items()}
+        else:
+            self.arrays = {k: jax.device_put(jnp.asarray(v))
+                           for k, v in arrays.items()}
 
         def gather(arrays, idx, adv_vids):
             batch = {

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 from functools import partial
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import ModelConfig
 from ..data.ted_db import BatchSampler, DeviceBatchSampler, DeviceDataset, PackedDataset
@@ -173,6 +174,11 @@ class Trainer:
         self.gen, self.dis, self.tri = setup["gen"], setup["dis"], setup["tri"]
         self.state = setup["state"]
         self.train_step = setup["train_step"]
+        # the UNWRAPPED step: the scanned epoch inlines it inside its own
+        # program (under a mesh, input shardings — replicated state +
+        # 'data'-sharded batch — drive the partitioning there, so the
+        # host-side device_put wrapper below must not be traced into it)
+        self._raw_train_step = setup["train_step"]
         self.eval_step = setup["eval_step"]
         self.gan_cfg = setup["gan_cfg"]
 
@@ -183,13 +189,15 @@ class Trainer:
             self.train_step = pmesh.data_parallel_step(self.train_step, self.mesh)
             self.eval_step = pmesh.data_parallel_step(self.eval_step, self.mesh)
 
-        # single-device: keep the packed train split resident in HBM and
-        # gather batches there (no per-step H2D); under a mesh the host
-        # sampler + sharded device_put path is used instead.
+        # keep the packed train split resident in HBM and gather batches
+        # there (no per-step H2D). Under a mesh the arrays are replicated
+        # across the devices so the scanned epoch's in-program gather can
+        # run data-parallel (see DeviceDataset); the per-step loop under a
+        # mesh keeps the host sampler + sharded device_put path.
         self._device_train = None
-        if self.mesh is None and train_data is not None:
+        if train_data is not None:
             try:
-                self._device_train = DeviceDataset(train_data)
+                self._device_train = DeviceDataset(train_data, mesh=self.mesh)
             except Exception:
                 self._device_train = None
 
@@ -221,9 +229,9 @@ class Trainer:
                 and not self._use_scanned_epoch()):
             logging.warning(
                 "steps_per_program=%d requested but the scanned epoch needs "
-                "the single-device 'device' loader and "
-                "trimodal_metric_interval=1; falling back to the per-step "
-                "loop", self.steps_per_program,
+                "the 'device' loader, trimodal_metric_interval=1, and (on a "
+                "mesh) batch_size divisible by the data axis; falling back "
+                "to the per-step loop", self.steps_per_program,
             )
             self.steps_per_program = 1
 
@@ -255,7 +263,12 @@ class Trainer:
             if self._iter_in_epoch >= steps:
                 self._iter_in_epoch = 0
             return
-        if self._device_train is not None:
+        if self._device_train is not None and self.mesh is None:
+            # (under a mesh the per-step loop keeps the host decode +
+            # sharded device_put path — decode_rows rescales audio through
+            # a float64 intermediate, the device gather through f32, so
+            # switching the source would perturb the established per-step
+            # mesh numerics; the scanned epoch uses the device arrays)
             sampler = DeviceBatchSampler(
                 self.train_data, self.cfg.batch_size,
                 seed=self.epoch * 7919 + 1, device_dataset=self._device_train,
@@ -272,17 +285,23 @@ class Trainer:
 
     # ------------------------------------- K-steps-per-program epoch scan
     def _use_scanned_epoch(self) -> bool:
-        """The scanned epoch needs the single-device device-resident loader
-        (the program gathers batches from HBM by index) and a per-program-
-        constant trimodal gate (tri_metric is static inside the scan body;
-        interval 1 = reference parity = the default)."""
-        return (
-            self.steps_per_program > 1
-            and self.loader_kind == "device"
-            and self._device_train is not None
-            and self.mesh is None
-            and self.trimodal_metric_interval == 1
-        )
+        """The scanned epoch needs the device-resident loader (the program
+        gathers batches from HBM by index) and a per-program-constant
+        trimodal gate (tri_metric is static inside the scan body; interval
+        1 = reference parity = the default). It composes with the data
+        mesh: the dataset is replicated, the index vectors are sharded
+        over 'data', so the in-program gather comes out batch-sharded —
+        the batch size just has to divide the data axis."""
+        if (self.steps_per_program <= 1
+                or self.loader_kind != "device"
+                or self._device_train is None
+                or self.trimodal_metric_interval != 1):
+            return False
+        if self.mesh is not None:
+            n_data = self.mesh.shape.get("data", 1)
+            if self.cfg.batch_size % max(n_data, 1) != 0:
+                return False
+        return True
 
     def _get_multi_step(self):
         """One jitted program running K train steps: lax.scan over host-
@@ -303,7 +322,15 @@ class Trainer:
         if getattr(self, "_multi_step", None) is not None:
             return self._multi_step
         gather = self._device_train.gather_fn
-        step = self.train_step
+        # the RAW step: under a mesh the wrapped step's host-side
+        # device_puts must not be traced into the program — sharding
+        # propagates from the inputs (replicated state/arrays, idx/adv
+        # sharded over 'data') instead
+        step = self._raw_train_step
+        mesh = self.mesh
+        batch_shard = (
+            NamedSharding(mesh, P("data")) if mesh is not None else None
+        )
 
         @partial(jax.jit, static_argnames=("gan_on",), donate_argnums=(0,))
         def multi_step(state, arrays, idx, adv, rng, gan_on):
@@ -317,8 +344,15 @@ class Trainer:
                 s, r = carry
                 i, a = xs
                 r, sub = jax.random.split(r)
-                s, m = step(s, gather(arrays, i, a), sub,
-                            gan_on=gan_on, tri_metric=True)
+                batch = gather(arrays, i, a)
+                if batch_shard is not None:
+                    # pin the gather output to the data-parallel layout
+                    # (replicated operand + 'data'-sharded indices already
+                    # propagate this, the constraint makes it load-bearing)
+                    batch = jax.tree.map(
+                        lambda x: jax.lax.with_sharding_constraint(
+                            x, batch_shard), batch)
+                s, m = step(s, batch, sub, gan_on=gan_on, tri_metric=True)
                 return (s, r), m
 
             (state, rng), metrics = jax.lax.scan(
@@ -342,6 +376,12 @@ class Trainer:
             steps = min(steps, max_iters)
         arrays = self._device_train.arrays
         multi_step = self._get_multi_step()
+        idx_shard = None
+        if self.mesh is not None:
+            # index/adv vectors sharded over 'data' (axis 1 = the batch);
+            # each device gathers its own batch rows from its replica
+            idx_shard = NamedSharding(self.mesh, P(None, "data"))
+            self.rng = jax.device_put(self.rng, pmesh.replicated(self.mesh))
         pending: deque = deque()  # (first_iter, k, stacked metrics)
         pend_steps = 0
 
@@ -366,9 +406,13 @@ class Trainer:
                 adv[j] = sampler.adversarial_speakers(
                     self.train_data.vid_indices[row]
                 )
+            if idx_shard is not None:
+                idx_d = jax.device_put(idx, idx_shard)
+                adv_d = jax.device_put(adv, idx_shard)
+            else:
+                idx_d, adv_d = jnp.asarray(idx), jnp.asarray(adv)
             self.state, self.rng, metrics = multi_step(
-                self.state, arrays, jnp.asarray(idx), jnp.asarray(adv),
-                self.rng, gan_on=gan_on,
+                self.state, arrays, idx_d, adv_d, self.rng, gan_on=gan_on,
             )
             pending.append((done, k, metrics))
             pend_steps += k

@@ -38,8 +38,8 @@ def tiny_ds():
                                             keep_sidecars=False)
 
 
-def _run_epoch(ds, spp, max_iters, **kw):
-    t = Trainer(_cfg(), tempfile.mkdtemp(), train_data=ds, seed=3,
+def _run_epoch(ds, spp, max_iters, cfg=None, **kw):
+    t = Trainer(cfg or _cfg(), tempfile.mkdtemp(), train_data=ds, seed=3,
                 steps_per_program=spp, metrics_lag=3, **kw)
     t.epoch = 1
     logs = []
@@ -87,6 +87,49 @@ def test_scanned_epoch_matches_per_step_draws_and_values(tiny_ds):
             err_msg=f"iter{i}",
         )
     np.testing.assert_allclose(mean1, mean4, rtol=0.05, atol=5e-3)
+
+
+@pytest.mark.slow
+def test_scanned_epoch_composes_with_mesh(tiny_ds):
+    """spp>1 under the data mesh: the dataset is replicated, the index
+    vectors are sharded over 'data', and the in-program gather comes out
+    batch-sharded — same draws, same values (to sharded-compile rounding)
+    as the single-device scanned epoch."""
+    import jax
+
+    cfg = ModelConfig(batch_size=8, loss_warmup=-1, n_layers=1,
+                      hidden_size=32, hidden_size_s2eg=32)
+    # the tiny corpus sustains 4 bs=8 steps per epoch; 4 with K=3 also
+    # exercises the partial final program (3 + 1)
+    t1, mean1, logs1 = _run_epoch(tiny_ds, spp=3, max_iters=4, cfg=cfg)
+    tm, meanm, logsm = _run_epoch(tiny_ds, spp=3, max_iters=4, cfg=cfg,
+                                  use_mesh=True)
+    assert tm.mesh is not None, "mesh trainer did not build a mesh"
+    assert tm._use_scanned_epoch(), "scanned epoch fell back under the mesh"
+    # the dataset replica + sharded indices must actually live on the mesh
+    arr = next(iter(tm._device_train.arrays.values()))
+    assert len(arr.sharding.device_set) == len(jax.devices())
+
+    it1, itm = _parse_iter_metrics(logs1), _parse_iter_metrics(logsm)
+    assert sorted(it1) == sorted(itm) == list(range(4))
+    for k in it1[0]:
+        np.testing.assert_allclose(it1[0][k], itm[0][k], rtol=1e-3,
+                                   atol=1e-4, err_msg=f"iter0 {k}")
+    for i in range(1, 4):
+        np.testing.assert_allclose(
+            it1[i]["s2ag_l1"], itm[i]["s2ag_l1"], rtol=0.05,
+            err_msg=f"iter{i}",
+        )
+    np.testing.assert_allclose(mean1, meanm, rtol=0.05, atol=5e-3)
+
+
+def test_mesh_fallback_when_batch_not_divisible(tiny_ds):
+    # bs=4 on an 8-device data mesh can't shard the batch: the trainer
+    # must fall back to the per-step loop, not crash or silently reshape
+    t = Trainer(_cfg(), tempfile.mkdtemp(), train_data=tiny_ds, seed=3,
+                steps_per_program=4, use_mesh=True)
+    assert t.steps_per_program == 1
+    assert not t._use_scanned_epoch()
 
 
 def test_fallback_to_per_step_when_ineligible(tiny_ds):
