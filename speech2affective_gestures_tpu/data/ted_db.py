@@ -35,7 +35,9 @@ from .vocab import Vocab, build_vocab, make_speaker_vocab
 try:  # optional: only needed to read the original TED lmdb caches
     import lmdb  # type: ignore
 except ImportError:
-    lmdb = None
+    # no C binding in this environment: fall back to the pure-python
+    # LMDB file-format reader (data/lmdb_lite.py) — same read API surface
+    from . import lmdb_lite as lmdb  # type: ignore
 try:
     import pyarrow  # type: ignore
 except ImportError:

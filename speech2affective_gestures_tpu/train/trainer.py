@@ -43,6 +43,19 @@ from .losses import AverageMeter
 _CKPT_RE = re.compile(r"epoch_(\d+)_loss_(-?[\d.]+)_model$")
 
 
+def _start_host_copies(metrics) -> None:
+    """Kick off the device->host copy of each metric at dispatch time:
+    the transfer starts the moment the program finishes on device (fully
+    overlapped with the next program's compute), so the lagged drain's
+    device_get finds the bytes already en route instead of paying the
+    tunnel RTT synchronously."""
+    for v in metrics.values():
+        try:
+            v.copy_to_host_async()
+        except (AttributeError, RuntimeError):  # non-jax value / backend quirk
+            pass
+
+
 def parse_checkpoint_name(name: str):
     m = _CKPT_RE.match(name)
     if not m:
@@ -122,8 +135,11 @@ class Trainer:
         # the RTT (~30 ms) can exceed the step itself — fetching every
         # step serializes host dispatch against device compute. A small
         # lag lets dispatch run ahead; 0 restores fully synchronous
-        # behavior. Pure host scheduling: the numbers logged/accumulated
-        # are identical, and check_finite still halts (up to `lag` steps
+        # behavior. The drain always leaves the newest dispatched
+        # step/program pending so the fetch never blocks on in-flight
+        # work (the device keeps its queue non-empty). Pure host
+        # scheduling: the numbers logged/accumulated are identical, and
+        # check_finite still halts (up to `lag` + one dispatch window
         # after the offending iteration, which the error names).
         self.metrics_lag = max(0, metrics_lag)
         # run K train steps as ONE device program (lax.scan over host-
@@ -385,11 +401,17 @@ class Trainer:
         pending: deque = deque()  # (first_iter, k, stacked metrics)
         pend_steps = 0
 
-        def drain():
+        def drain(keep: int = 0):
+            # fetch all pending programs EXCEPT the newest `keep`: a
+            # device_get on the just-dispatched program blocks the host
+            # until the device finishes it, leaving the device with an
+            # empty queue (idle) during the next host sample+dispatch.
+            # Keeping the newest program pending means the block (if any)
+            # lands on already-finished work and the device always has the
+            # next program enqueued behind it.
             nonlocal pend_steps
-            items = list(pending)
-            pending.clear()
-            pend_steps = 0
+            items = [pending.popleft() for _ in range(len(pending) - keep)]
+            pend_steps = sum(k for _, k, _ in pending)
             fetched = jax.device_get([m for *_, m in items])
             for (start, k, _), m in zip(items, fetched):
                 for j in range(k):
@@ -414,11 +436,14 @@ class Trainer:
             self.state, self.rng, metrics = multi_step(
                 self.state, arrays, idx_d, adv_d, self.rng, gan_on=gan_on,
             )
+            _start_host_copies(metrics)
             pending.append((done, k, metrics))
             pend_steps += k
             done += k
-            if pend_steps > self.metrics_lag:
-                drain()
+            if self.metrics_lag == 0:
+                drain()  # fully synchronous, as documented
+            elif len(pending) > 1 and pend_steps - k > self.metrics_lag:
+                drain(keep=1)
         if pending:
             drain()
         return done
@@ -455,7 +480,7 @@ class Trainer:
 
         pending: deque = deque()
 
-        def drain():
+        def drain(keep: int = 0):
             # every pending step's metrics in ONE device->host transfer:
             # a float() on a device scalar pays a full tunnel RTT (~30 ms
             # here — 2x the step itself), and consume() reads several
@@ -463,10 +488,12 @@ class Trainer:
             # 4-8x slower than the jitted step rate. jax.device_get
             # issues all copies before blocking, so a drain costs one
             # RTT per metrics_lag steps (measured: tools/bench_epoch.py).
+            # `keep` leaves the newest steps pending so the fetch never
+            # blocks on the just-dispatched step — the device keeps work
+            # enqueued behind the one the host is waiting on.
             # Values, order, and per-step check_finite/logging semantics
             # are unchanged — only fetch granularity moves.
-            items = list(pending)
-            pending.clear()
+            items = [pending.popleft() for _ in range(len(pending) - keep)]
             fetched = jax.device_get([m for _, m in items])
             for (i, _), m in zip(items, fetched):
                 consume(i, m)
@@ -480,9 +507,12 @@ class Trainer:
                     gan_on=gan_on,
                     tri_metric=(tri_every == 1 or i % tri_every == 0),
                 )
+                _start_host_copies(metrics)
                 pending.append((i, metrics))
-                if len(pending) > self.metrics_lag:
-                    drain()
+                if self.metrics_lag == 0:
+                    drain()  # fully synchronous, as documented
+                elif len(pending) > self.metrics_lag:
+                    drain(keep=1)
             if pending:
                 drain()
         if n == 0:  # no trimodal comparator anywhere this epoch

@@ -35,6 +35,13 @@ def main(argv=None):
                    help="comma list of steps_per_program values; each "
                         "(lag, spp) combo gets its own trainer, "
                         "interleaved")
+    p.add_argument("--precisions", default="f32",
+                   help="comma list from {f32, bf16}; bf16 is the "
+                        "mixed-precision mode (bf16 network forwards, f32 "
+                        "master weights/optimizer — train/builder.py). The "
+                        "full cross product (lag, spp, precision) is "
+                        "interleaved so one run yields a like-for-like "
+                        "composed-mode table.")
     args = p.parse_args(argv)
 
     from speech2affective_gestures_tpu import compile_cache
@@ -71,12 +78,16 @@ def main(argv=None):
     import numpy as np
 
     trainers = {}
-    combos = [(int(l), int(s)) for l in args.lags.split(",")
-              for s in args.spps.split(",")]
-    for lag, spp in combos:
+    combos = [(int(l), int(s), prec) for l in args.lags.split(",")
+              for s in args.spps.split(",")
+              for prec in args.precisions.split(",")]
+    for lag, spp, prec in combos:
+        if prec not in ("f32", "bf16"):
+            raise SystemExit(f"unknown precision {prec!r}")
         t = Trainer(cfg, tempfile.mkdtemp(prefix=f"bench_lag{lag}_"),
                     train_data=ds, val_data=ds, seed=3, metrics_lag=lag,
-                    steps_per_program=spp)
+                    steps_per_program=spp,
+                    mixed_precision=(prec == "bf16"))
         t.epoch = 1
         t.logger.print_log = lambda *a, **k: None  # logging off the clock
         # count the steps that actually run (assert the epoch sustained
@@ -102,7 +113,7 @@ def main(argv=None):
 
             t.train_step = counted
         t.per_train_epoch(log_interval=10**9, max_iters=max(4, spp))
-        trainers[(lag, spp)] = t
+        trainers[(lag, spp, prec)] = t
 
     results = {key: [] for key in trainers}
     for _ in range(args.reps):
@@ -117,10 +128,11 @@ def main(argv=None):
             )
             results[key].append(dt / t._n_steps)
 
-    for (lag, spp), times in results.items():
+    for (lag, spp, prec), times in results.items():
         med = float(np.median(times))
         print(json.dumps({
             "metrics_lag": lag, "steps_per_program": spp,
+            "precision": prec,
             "batch_size": args.batch_size,
             "iters": args.iters,
             "ms_per_iter": round(med * 1e3, 2),

@@ -71,7 +71,18 @@ def make_decoder():
 
 
 def iter_lmdb_records(lmdb_dir, decode):
-    import lmdb
+    try:
+        import lmdb
+    except ImportError:
+        # pure-python LMDB file-format reader fallback, loaded by file
+        # path (this tool runs standalone in foreign envs, like the
+        # legacy_arrow loader above)
+        here = os.path.dirname(os.path.abspath(__file__))
+        path = os.path.join(here, "..", "speech2affective_gestures_tpu",
+                            "data", "lmdb_lite.py")
+        spec = importlib.util.spec_from_file_location("_lmdb_lite", path)
+        lmdb = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(lmdb)
 
     env = lmdb.open(lmdb_dir, readonly=True, lock=False)
     try:
