@@ -128,6 +128,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="frozen FGD embedding net .pth.tar")
     p.add_argument("--synthetic-data", type=str2bool, default=False,
                    help="use the synthetic corpus instead of TED lmdb")
+    p.add_argument("--synthetic-videos", type=int, default=4,
+                   help="synthetic corpus size: number of videos "
+                        "(~41 windows per 30 s of video at the paper's "
+                        "stride; only with --synthetic-data)")
+    p.add_argument("--synthetic-seconds", type=float, default=12.0,
+                   help="synthetic corpus: seconds per video "
+                        "(only with --synthetic-data)")
     p.add_argument("--packed-data", type=str, default="",
                    help="directory of a tools/export_ted_cache.py archive "
                         "(manifest.json + pickle shards) — loads the TED "
@@ -164,7 +171,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def load_datasets(args, cfg: ModelConfig):
     if args.synthetic_data:
-        videos = ted_db.make_synthetic_videos(n_videos=4, clip_seconds=12.0)
+        videos = ted_db.make_synthetic_videos(
+            n_videos=args.synthetic_videos,
+            clip_seconds=args.synthetic_seconds,
+        )
         full = ted_db.build_dataset_from_videos(videos, cfg, keep_sidecars=True)
         n = full.n_samples
         cut1, cut2 = int(n * 0.7), int(n * 0.85)

@@ -38,6 +38,12 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--synthetic-videos", type=int, default=72,
+                   help="corpus size: videos (72 x 32 s -> ~2.2k train "
+                        "windows, realistic full-test shapes)")
+    p.add_argument("--synthetic-seconds", type=float, default=32.0)
+    p.add_argument("--steps-per-program", type=int, default=1)
+    p.add_argument("--mixed-precision", action="store_true")
     p.add_argument("--no-video", action="store_true")
     p.add_argument("--out", default="")
     p.add_argument("--base-path", default="",
@@ -68,11 +74,14 @@ def main(argv=None):
     trainer = main_v2.main([
         "-b", base, "-c", cfg_path,
         "--synthetic-data", "true",
+        "--synthetic-videos", str(args.synthetic_videos),
+        "--synthetic-seconds", str(args.synthetic_seconds),
         "--s2ag-num-epoch", str(args.epochs),
         "--batch-size", str(args.batch_size),
+        "--steps-per-program", str(args.steps_per_program),
         "--val-interval", "1",
         "--s2ag-load-last-best", "false",
-    ])
+    ] + (["--mixed-precision", "true"] if args.mixed_precision else []))
     timings["train_and_eval_s"] = round(time.perf_counter() - t0, 2)
     payload["epochs"] = args.epochs
     payload["train_samples"] = trainer.train_data.n_samples
@@ -108,10 +117,13 @@ def main(argv=None):
     payload["embedding_recon_loss"] = round(trained["final_loss"], 6)
     trainer.evaluator = EmbeddingSpaceEvaluator(trained["variables"])
     t0 = time.perf_counter()
+    # full_test=True: FGD Gaussians over the WHOLE test split in batched
+    # chunks (the reference scores one <=2048 draw, processor_v2.py:1080)
     eval_metrics = trainer.generate_gestures(
-        batch_size=min(512, trainer.test_data.n_samples), randomized=False
+        batch_size=min(512, trainer.test_data.n_samples), full_test=True
     )
-    timings["fgd_eval_s"] = round(time.perf_counter() - t0, 2)
+    timings["fgd_eval_full_test_s"] = round(time.perf_counter() - t0, 2)
+    payload["test_samples_scored"] = trainer.test_data.n_samples
     payload["eval"] = {k: round(float(v), 6) for k, v in eval_metrics.items()}
     assert "FGD" in eval_metrics, "evaluator did not produce an FGD score"
 
@@ -157,15 +169,30 @@ def main(argv=None):
         f"not >> real-split {fgd_split}"
     )
 
-    # 3. long-clip streaming synthesis + artifact dump
+    # 3a. batched long-clip synthesis over the WHOLE stitched test set:
+    #    every clip in one device program per generator (the production
+    #    path /synthesize_batch uses). Realistic scale: the corpus above
+    #    stitches to dozens of clips.
+    t0 = time.perf_counter()
+    batched_results = clip_eval.generate_gestures_by_dataset(
+        trainer, dataset="ted_db", check_duration=False,
+        make_video=False, save_pkl=False, randomized=False, batched=True,
+    )
+    timings["synthesis_batched_s"] = round(time.perf_counter() - t0, 2)
+    payload["clips_synthesized_batched"] = len(batched_results)
+    assert len(batched_results) > 0, "batched synthesis produced no clips"
+
+    # 3b. per-clip streaming synthesis + video/pkl artifact dump on a
+    #    bounded subset (the video renderer is matplotlib on a 1-core host)
     render_dir = os.path.join(base, "render")
+    sample_vids = sorted({r[0] for r in batched_results})[:2]
     t0 = time.perf_counter()
     results = clip_eval.generate_gestures_by_dataset(
         trainer, dataset="ted_db", check_duration=False,
         make_video=not args.no_video, save_pkl=True, save_path=render_dir,
-        randomized=False,
+        randomized=False, samples=sample_vids,
     )
-    timings["synthesis_s"] = round(time.perf_counter() - t0, 2)
+    timings["synthesis_render_s"] = round(time.perf_counter() - t0, 2)
     payload["clips_synthesized"] = len(results)
     payload["clip_shapes"] = [
         list(res[0].shape) for _, res in results[:3]
