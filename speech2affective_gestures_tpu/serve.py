@@ -161,11 +161,12 @@ class SynthesisService:
         self._metrics: dict = {}
         self._metrics_lock = threading.Lock()
 
-    def _record(self, endpoint: str, elapsed_ms: float, clips: int = 1):
+    def _record(self, endpoint: str, elapsed_ms: float, clips: int = 1,
+                phases: dict | None = None):
         with self._metrics_lock:
             m = self._metrics.setdefault(endpoint, {
                 "requests": 0, "clips": 0, "total_ms": 0.0,
-                "max_ms": 0.0, "recent_ms": [],
+                "max_ms": 0.0, "recent_ms": [], "phase_ms": {},
             })
             m["requests"] += 1
             m["clips"] += clips
@@ -173,6 +174,10 @@ class SynthesisService:
             m["max_ms"] = max(m["max_ms"], elapsed_ms)
             m["recent_ms"].append(round(elapsed_ms, 2))
             del m["recent_ms"][:-64]  # bounded window for percentiles
+            # phase breakdown (host prep / device / host post / transport):
+            # where a request's wall time actually goes on this 1-core host
+            for k, v in (phases or {}).items():
+                m["phase_ms"][k] = m["phase_ms"].get(k, 0.0) + float(v)
 
     def reset_metrics(self):
         """Drop accumulated aggregates (warmup() calls this so compile
@@ -193,6 +198,11 @@ class SynthesisService:
                     "p50_ms": recent[len(recent) // 2] if recent else None,
                     "p90_ms": recent[int(len(recent) * 0.9)] if recent else None,
                 }
+                if m.get("phase_ms"):
+                    n = max(m["requests"], 1)
+                    out[endpoint]["phase_mean_ms"] = {
+                        k: round(v / n, 2) for k, v in m["phase_ms"].items()
+                    }
         out["active_streams"] = len(self._streams)
         return out
 
@@ -259,12 +269,14 @@ class SynthesisService:
         with self._lock:  # only the id draw; JAX dispatch is thread-safe,
             self._counter += 1  # and the device queue serializes compute —
             rng = jax.random.key(self._counter)  # host prep may overlap
+        phases: dict = {}
         dir_vec, poses = synthesis.synthesize_clip_fused(
             self.clip_fn, self.variables, audio, words, self.lang,
             self.cfg, vid_idx=vid_idx, rng=rng, fade_out=fade_out,
+            timings=phases,
         )
         elapsed = (time.perf_counter() - t0) * 1e3
-        self._record("synthesize", elapsed)
+        self._record("synthesize", elapsed, phases=phases)
         return {
             "dir_vec": dir_vec,
             "poses": poses,
@@ -309,12 +321,14 @@ class SynthesisService:
         keys = jnp.stack([
             jax.random.key(base + i) for i in range(bucket)
         ])
+        phases: dict = {}
         outs = synthesis.synthesize_clips_batched(
             self.batched_fn, self.variables, clips, self.lang, self.cfg,
-            fade_out=fades, keys=keys,
+            fade_out=fades, keys=keys, timings=phases,
         )[:n_real]
         elapsed = (time.perf_counter() - t0) * 1e3
-        self._record("synthesize_batch", elapsed, clips=n_real)
+        self._record("synthesize_batch", elapsed, clips=n_real,
+                     phases=phases)
         return [
             {"dir_vec": dv, "poses": ps, "frames": int(len(dv)),
              "elapsed_ms": elapsed}
@@ -497,6 +511,7 @@ def make_handler(service: SynthesisService):
 
         def do_POST(self):
             try:
+                t0 = time.perf_counter()
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 binary = bool(req.get("binary", False))
@@ -505,12 +520,24 @@ def make_handler(service: SynthesisService):
                         raise KeyError("audio")
                     audio = audio_from_request(req)
                     words = req.get("words", [])
+                    t_parse = time.perf_counter()
                     result = service.synthesize_auto(
                         audio, words,
                         vid_idx=int(req.get("vid_idx", 0)),
                         fade_out=bool(req.get("fade_out", False)),
                     )
+                    t_run = time.perf_counter()
                     self._send(200, self._result_payload(result, binary))
+                    # transport-side phase accounting: how much of the
+                    # request is host decode/encode vs the service call
+                    service._record(
+                        "synthesize.http",
+                        (time.perf_counter() - t0) * 1e3,
+                        phases={
+                            "parse_ms": (t_parse - t0) * 1e3,
+                            "run_ms": (t_run - t_parse) * 1e3,
+                            "encode_ms": (time.perf_counter() - t_run) * 1e3,
+                        })
                 elif self.path == "/synthesize_batch":
                     results = service.synthesize_batch(req["requests"])
                     self._send(200, {

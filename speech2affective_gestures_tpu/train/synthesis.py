@@ -19,6 +19,8 @@ TPU-first redesign:
 from __future__ import annotations
 
 import math
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -441,6 +443,7 @@ def synthesize_clips_batched(
     seeds=None,
     keys=None,
     pad_to: int | None = None,
+    timings: dict | None = None,
 ):
     """Synthesize many clips in one device program.
 
@@ -454,8 +457,12 @@ def synthesize_clips_batched(
     running synthesize_clip_fused per clip with the same key. fade_out
     may be a single bool or one bool per clip. pad_to: pad the clip axis
     to a multiple (dummy lanes, results dropped) — required when
-    batched_fn shards clips over a mesh axis of that size.
+    batched_fn shards clips over a mesh axis of that size. timings: if a
+    dict is passed, phase wall-times land in it (prep_ms = host window
+    planning/packing, device_ms = dispatch + output fetch, post_ms =
+    host slicing/fades) so servers can report where request time goes.
     """
+    t_start = time.perf_counter()
     clips = list(clips)
     if not clips:
         return []
@@ -496,6 +503,7 @@ def synthesize_clips_batched(
         ]) if n_pad else np.stack(
             [np.asarray(s[: cfg.n_pre_poses], np.float32) for s in seeds]
         ))
+    t_prep = time.perf_counter()
     dir_vec_full, poses_full = batched_fn(
         variables,
         jnp.asarray(audio_w),
@@ -506,6 +514,7 @@ def synthesize_clips_batched(
         jnp.asarray(n_windows + [1] * n_pad, jnp.int32),
     )
     dir_vec_full, poses_full = jax.device_get((dir_vec_full, poses_full))
+    t_device = time.perf_counter()
     stride = cfg.n_poses - cfg.n_pre_poses
     out = []
     for i, (_, _, end_padding) in enumerate(prepped):
@@ -518,6 +527,11 @@ def synthesize_clips_batched(
                 jnp.asarray(dv + cfg.mean_dir_vec_array.reshape(-1))
             ))
         out.append((dv, ps))
+    if timings is not None:
+        t_end = time.perf_counter()
+        timings["prep_ms"] = (t_prep - t_start) * 1e3
+        timings["device_ms"] = (t_device - t_prep) * 1e3
+        timings["post_ms"] = (t_end - t_device) * 1e3
     return out
 
 
@@ -532,14 +546,17 @@ def synthesize_clip_fused(
     rng: jax.Array | None = None,
     sample_rate: int = C.AUDIO_SR,
     fade_out: bool = False,
+    timings: dict | None = None,
 ):
     """Serving-path synthesis through a make_fused_clip_fn program.
 
     Host work is reduced to window planning/slicing (numpy views) and the
     final slice to the real frame count; window counts are bucketed to the
     next power of two so the program compiles once per bucket. Returns
-    (dir_vec (F, D), poses (F, J, 3)) as numpy arrays.
+    (dir_vec (F, D), poses (F, J, 3)) as numpy arrays. timings: optional
+    dict receiving prep_ms/device_ms/post_ms phase wall-times.
     """
+    t_start = time.perf_counter()
     audio_windows, text_windows, end_padding = prepare_window_inputs(
         clip_audio, clip_words, lang_model, cfg, sample_rate
     )
@@ -549,6 +566,7 @@ def synthesize_clip_fused(
         pad = bucket - n_windows
         audio_windows = np.pad(audio_windows, ((0, pad), (0, 0)))
         text_windows = np.pad(text_windows, ((0, pad), (0, 0)))
+    t_prep = time.perf_counter()
     dir_vec_full, poses_full = clip_fn(
         variables, jnp.asarray(audio_windows), jnp.asarray(text_windows),
         jnp.asarray([vid_idx]),
@@ -559,6 +577,7 @@ def synthesize_clip_fused(
     n_real = (n_windows - 1) * (cfg.n_poses - cfg.n_pre_poses) + cfg.n_poses
     dir_vec, poses = jax.device_get((dir_vec_full[:n_real],
                                      poses_full[:n_real]))
+    t_device = time.perf_counter()
     if fade_out:
         # host-side polyfit smoothing (rare path, numpy by nature); the
         # poses must then be recomputed from the smoothed vectors.
@@ -568,4 +587,9 @@ def synthesize_clip_fused(
         poses = np.asarray(pose_ops.convert_dir_vec_to_pose(
             jnp.asarray(dir_vec + cfg.mean_dir_vec_array.reshape(-1))
         ))
+    if timings is not None:
+        t_end = time.perf_counter()
+        timings["prep_ms"] = (t_prep - t_start) * 1e3
+        timings["device_ms"] = (t_device - t_prep) * 1e3
+        timings["post_ms"] = (t_end - t_device) * 1e3
     return dir_vec, poses

@@ -276,14 +276,37 @@ def test_stream_unknown_id_400(server):
 
 
 def test_metrics_endpoint(server):
+    # self-sufficient: drive one request per endpoint family so the
+    # assertions don't depend on module ordering (warmup() resets metrics)
+    body = {"audio": None, "words": [["hello", 0.2, 0.6]]}
+    assert _request(server, "POST", "/synthesize", body)[0] == 200
+    assert _request(server, "POST", "/synthesize_batch",
+                    {"requests": [body, body, body]})[0] == 200
+    sid = _request(server, "POST", "/stream/start", {})[1]["stream_id"]
+    _request(server, "POST", "/stream/feed",
+             {"stream_id": sid, "audio": [0.0] * 1600})
+    _request(server, "POST", "/stream/flush", {"stream_id": sid})
+
     status, data = _request(server, "GET", "/metrics")
     assert status == 200
-    # earlier tests in this module exercised every endpoint family
     assert data["synthesize"]["requests"] >= 1
     assert data["synthesize"]["p50_ms"] > 0
     assert data["synthesize_batch"]["clips"] >= 3
     assert data["stream_feed"]["requests"] >= 1
     assert data["active_streams"] == 0
+    # phase breakdown: service-side prep/device/post and the HTTP layer's
+    # parse/run/encode means are reported, positive, and bounded by the
+    # endpoint mean (phases are sub-spans of the request)
+    for ep, keys in (("synthesize", ("prep_ms", "device_ms", "post_ms")),
+                     ("synthesize_batch", ("prep_ms", "device_ms",
+                                           "post_ms")),
+                     ("synthesize.http", ("parse_ms", "run_ms",
+                                          "encode_ms"))):
+        phases = data[ep]["phase_mean_ms"]
+        for k in keys:
+            assert phases[k] >= 0.0, (ep, k)
+        assert sum(phases.values()) <= data[ep]["mean_ms"] * 1.05, ep
+    assert data["synthesize"]["phase_mean_ms"]["device_ms"] > 0
 
 
 def test_stream_prune_and_cap(service):

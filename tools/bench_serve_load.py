@@ -121,7 +121,21 @@ def main(argv=None):
     _post(port, "/stream/feed", {"stream_id": _sid, "audio": audios[0]})
     _post(port, "/stream/flush", {"stream_id": _sid})
 
+    def section_metrics():
+        """Per-section phase breakdown: fetch + reset so sections (and
+        their compiles) can't pollute each other's means."""
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/metrics")
+        m = json.loads(conn.getresponse().read())
+        conn.close()
+        service.reset_metrics()
+        return {k: {kk: v[kk] for kk in ("mean_ms", "p50_ms", "p90_ms",
+                                         "phase_mean_ms") if kk in v}
+                for k, v in m.items() if isinstance(v, dict)}
+
     results = {}
+    phases = {}
+    section_metrics()  # drop warmup aggregates
     for transport in ("json", "b64"):
         # --- threaded /synthesize
         def one(i, _t=transport):
@@ -131,6 +145,7 @@ def main(argv=None):
         with ThreadPoolExecutor(args.threads) as ex:
             list(ex.map(one, range(args.clips)))
         t_single = time.perf_counter() - t0
+        phases[f"synthesize.{transport}"] = section_metrics()
 
         # --- /synthesize_batch in groups of B
         t0 = time.perf_counter()
@@ -142,6 +157,7 @@ def main(argv=None):
                                                     args.clips))],
             })
         t_batch = time.perf_counter() - t0
+        phases[f"batch.{transport}"] = section_metrics()
 
         # --- live stream: chunk_ms-sized chunks, keep-up headroom
         sid = _post(port, "/stream/start", {"vid_idx": 1})["stream_id"]
@@ -205,6 +221,7 @@ def main(argv=None):
         "json": results["json"],
         "b64": results["b64"],
         "auto_batch_synthesize_clips_per_s": auto_results,
+        "section_phases": phases,
         "metrics": metrics,
     }), flush=True)
 
