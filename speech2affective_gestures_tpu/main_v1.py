@@ -107,6 +107,9 @@ def _synthetic_ser_split(rng, n=64):
 
 
 def main(argv=None):
+    from . import compile_cache
+
+    compile_cache.enable()  # see main_v2.main (S2AG_COMPILE_CACHE=0 = off)
     args = build_parser().parse_args(argv)
     cfg = ModelConfig.from_yaml(args.config, batch_size=args.batch_size)
     work_dir = jn(args.base_path, "models", "v1_ser_s2eg")

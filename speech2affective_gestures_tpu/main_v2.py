@@ -220,6 +220,12 @@ def load_datasets(args, cfg: ModelConfig):
 
 
 def main(argv=None, variant: str = "s2ag"):
+    # persistent XLA compile cache: full-size GAN programs take minutes to
+    # compile on this host class and the epoch loop is otherwise compile-
+    # dominated for short runs (S2AG_COMPILE_CACHE=0 opts out)
+    from . import compile_cache
+
+    compile_cache.enable()
     args = build_parser().parse_args(argv)
     cfg = ModelConfig.from_yaml(args.config, batch_size=args.batch_size)
 

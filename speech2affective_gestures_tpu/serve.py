@@ -584,8 +584,11 @@ def main(argv=None):
     import os
     from os.path import join as jn
 
+    from . import compile_cache
     from .main_v2 import build_parser, load_datasets
     from .train.trainer import Trainer
+
+    compile_cache.enable()  # see main_v2.main (S2AG_COMPILE_CACHE=0 = off)
 
     parser = build_parser()
     parser.add_argument("--port", type=int, default=8787)
