@@ -495,8 +495,9 @@ def make_synthetic_pose_windows(n_videos: int, clip_seconds: float,
 def legacy_deserialize(value: bytes):
     """Decode one pyarrow-0.14 ``serialize`` blob with whatever this
     environment offers: pyarrow.deserialize when pyarrow<2 is installed,
-    otherwise the pure-python legacy reader (data/legacy_arrow.py)."""
-    if hasattr(pyarrow, "deserialize"):
+    otherwise the pure-python legacy reader (data/legacy_arrow.py) — which
+    also covers environments with no pyarrow at all."""
+    if pyarrow is not None and hasattr(pyarrow, "deserialize"):
         return pyarrow.deserialize(value)
     from . import legacy_arrow
 
@@ -508,9 +509,9 @@ def iter_lmdb_videos(lmdb_dir: str) -> Iterator[dict]:
 
     The TED caches were written with pyarrow 0.14's legacy serialize API
     (reference utils/data_preprocessor.py:175-178); decoded by
-    legacy_deserialize, which works on ANY modern pyarrow."""
-    if lmdb is None or pyarrow is None:
-        raise ImportError("lmdb/pyarrow are required to read TED caches")
+    legacy_deserialize, which works with ANY modern pyarrow or none at
+    all (legacy_arrow), just as the lmdb import falls back to the
+    pure-python lmdb_lite reader — no native dependency required."""
     env = lmdb.open(lmdb_dir, readonly=True, lock=False)
     with env.begin(write=False) as txn:
         for _key, value in txn.cursor():
