@@ -4,10 +4,29 @@ Runs the complete adversarial step (D update + G update with Huber/KLD/
 diversity/ns-GAN, 3 generator forwards + 3 discriminator forwards + 2
 backwards — exactly the work of reference forward_pass_s2ag,
 processor_v2.py:776-957) at the paper's full configuration (hidden 300,
-4-layer bi-GRUs) across batch sizes, and prints ONE JSON line carrying
-steps/s at the paper batch (128), the best samples/s configuration, and
-MFU from the analytic jaxpr flop count (train/flops.py; XLA's own cost
-analysis, when the platform provides one, is recorded as a cross-check).
+4-layer bi-GRUs), and prints ONE JSON line carrying steps/s at the paper
+batch (128) and MFU from the analytic jaxpr flop count (train/flops.py).
+
+TIME-BUDGET ARCHITECTURE (round-4 regression: BENCH_r04 was rc=124 /
+parsed=null because the one JSON line printed only after a batch sweep, a
+mixed-precision pass and a cold multi-minute `lowered.compile()` XLA
+cross-check — any timeout anywhere = empty artifact):
+
+- this file is a SUPERVISOR + WORKER pair. The supervisor (this process)
+  imports no JAX, spawns itself as a worker subprocess, and reads payload
+  lines from its stdout. The worker measures the HEADLINE FIRST (bs128 f32
+  steps/s + analytic MFU + engine/backend stamps), emits a complete payload
+  line immediately, then runs each enrichment stage (composed user-mode
+  epoch, bf16 step, batch sweep, XLA cost cross-check) only if its budget
+  estimate still fits, re-emitting the enriched payload after every stage.
+- the supervisor enforces a HARD wall-clock (env `S2AG_BENCH_BUDGET_S`,
+  default 420 s — well under the driver's window): at expiry it kills the
+  worker (which may be blocked inside a cold XLA compile where no Python
+  signal can run) and prints the latest payload it received. The
+  supervisor's stdout therefore carries EXACTLY ONE JSON line in every
+  outcome, and that line exists as soon as the headline stage lands.
+- each skipped/failed enrichment is recorded in payload["stages"] — a
+  dropped stage is loud, never a silent null (round-3 lesson).
 
 MEASUREMENT HONESTY (the round-2 verdict found block_until_ready returns
 early on this platform, inflating rates ~6x):
@@ -16,7 +35,7 @@ early on this platform, inflating rates ~6x):
 - throughput is the marginal slope between two window sizes, cancelling the
   constant dispatch/tunnel overhead (~30 ms RTT here);
 - the spec-sheet peak used for MFU is cross-checked against an on-device
-  measured matmul peak, and the script HARD-FAILS if any MFU exceeds 1.
+  measured matmul peak, and the worker HARD-FAILS if any MFU exceeds 1.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the recorded
 comparator is the same full GAN step implemented with the reference's own
@@ -28,22 +47,12 @@ misreading; vs_baseline mirrors it because the driver requires that key.
 
 import json
 import os
+import subprocess
 import sys
+import threading
+import time
 
-import numpy as np
-
-import jax
-
-from speech2affective_gestures_tpu import compile_cache
-
-compile_cache.enable()  # persistent XLA cache (S2AG_COMPILE_CACHE=0 to off)
-
-from speech2affective_gestures_tpu.config import ModelConfig
-from speech2affective_gestures_tpu.models import layers
-from speech2affective_gestures_tpu.ops import backend
-from speech2affective_gestures_tpu.train import builder
-from speech2affective_gestures_tpu.train import flops as flops_mod
-from speech2affective_gestures_tpu.train import timing
+BUDGET_S = float(os.environ.get("S2AG_BENCH_BUDGET_S", "420"))
 
 # steps/sec of the reference's own modules running the same step on
 # torch-CPU in this container (1 CPU thread) — tools/bench_torch_baseline.py
@@ -53,7 +62,8 @@ TORCH_CPU_BASELINE_STEPS_PER_SEC = float(
 
 HEADLINE_BATCH = int(os.environ.get("S2AG_BENCH_BATCH", "128"))
 SWEEP_BATCHES = tuple(
-    int(b) for b in os.environ.get("S2AG_BENCH_SWEEP", "128,256,512").split(",")
+    int(b) for b in os.environ.get("S2AG_BENCH_SWEEP", "256,512").split(",")
+    if b
 )
 WINDOWS = tuple(
     int(w) for w in os.environ.get("S2AG_BENCH_WINDOWS", "20,60").split(",")
@@ -71,81 +81,131 @@ PEAK_FLOPS = {
     "TPU v6 lite": 918e12,   # v6e (Trillium)
 }
 
+# conservative wall-clock estimates per enrichment stage (each involves at
+# least one cold XLA compile over the tunnel, historically 20 s - 3 min);
+# a stage only STARTS if this much budget remains, so a single stage can
+# overshoot the supervisor deadline only by (actual - estimate)
+STAGE_ESTIMATES = {
+    "composed_user_epoch": 170.0,
+    "mixed_precision": 110.0,
+    "sweep": 100.0,       # per extra batch size
+    "xla_cost_check": 150.0,
+}
 
-def _xla_cost_flops(train_step, state, batch, key):
-    """XLA's own flop count of the compiled program — recorded as a cross-
-    check when the platform provides it, NEVER as the MFU numerator.
 
-    Returns (flops | None, error_message | None). A None result is LOUD:
-    the cause is returned and printed to stderr by the caller; it does not
-    silently null out the artifact (BENCH_r03 regression)."""
+# --------------------------------------------------------------- supervisor
+def supervisor() -> int:
+    """Spawn the worker, stream its payload lines, print the LATEST one.
+
+    Never imports JAX, so nothing here can block uninterruptibly: the
+    deadline is enforceable no matter where the worker is stuck."""
+    env = dict(os.environ, S2AG_BENCH_WORKER="1")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        stdout=subprocess.PIPE, stderr=None, text=True, env=env,
+    )
+    latest: dict = {}
+    lock = threading.Lock()
+
+    def reader():
+        for line in proc.stdout:
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(obj, dict) and "metric" in obj:
+                with lock:
+                    latest.clear()
+                    latest.update(obj)
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    # +20 s grace: the worker gates its own stages on the same budget and
+    # should exit first; the kill is the backstop for a stage blocked in
+    # C++ past its estimate
     try:
-        lowered = train_step.lower(state, batch, key, gan_on=True)
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0] if cost else None
-        if cost is None:
-            return None, "cost_analysis() returned None (unsupported on this platform/JAX version)"
-        flops = float(cost.get("flops", -1.0))
-        if flops <= 0:
-            return None, f"cost_analysis() has no positive 'flops' entry (got {flops})"
-        return flops, None
-    except Exception as e:  # noqa: BLE001 — reported, not swallowed
-        return None, f"{type(e).__name__}: {e}"
+        proc.wait(timeout=BUDGET_S + 20)
+        killed = False
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait()
+        killed = True
+    t.join(timeout=10)
+    with lock:
+        payload = dict(latest)
+    if not payload:
+        print(
+            "bench: worker produced no payload before the "
+            f"{BUDGET_S:.0f}s budget (killed={killed}, rc={proc.returncode})",
+            file=sys.stderr,
+        )
+        return 1
+    if killed:
+        payload["stages"] = dict(payload.get("stages", {}))
+        payload.setdefault("stages", {})["_supervisor"] = (
+            f"worker killed at the {BUDGET_S:.0f}s budget; "
+            "payload is the last enrichment that completed"
+        )
+    print(json.dumps(payload), flush=True)
+    return 0
 
 
-def _canonical_flops(cfg, batch_size):
-    """Algorithmic FLOPs per step — the MFU numerator for every engine and
-    precision: an analytic jaxpr walk (train/flops.py) of the lax.scan-
-    engine step, abstract tracing only (no compile, no device work).
+# ------------------------------------------------------------------ worker
+def worker() -> int:
+    t0 = time.monotonic()
 
-    Counting the flops of whatever program actually runs would let backend
-    padding inflate 'utilization': the pallas-v2 GRU pre-pads gate columns
-    inside the weight matrices (ops/gru_pallas.py), so ITS compiled count
-    is ~40% higher than the same math unpadded — pad flops do no useful
-    work. The scan program is the reference semantics with no TPU-specific
-    padding; its count is the work a user bought, whichever engine
-    delivers it.
+    def remaining() -> float:
+        return BUDGET_S - (time.monotonic() - t0)
 
-    History of this number at bs128 (so rounds stay comparable):
-    - r2 "315G": pallas-v1 adapter hid recurrent matmuls in an uncounted
-      custom call — UNDERcounted;
-    - r5 "307.7G": XLA Lowered.cost_analysis() on unoptimized HLO — which
-      counts while-loop (lax.scan) bodies ONCE, undercounting the T=34
-      recurrences; that API also started returning None in JAX 0.9
-      (=> BENCH_r03's mfu:null);
-    - now: 427G analytic (99.3% of it exact dot/conv math, trip counts
-      included; tests/test_flops.py pins the convention). Fixed
-      denominator from here on.
+    import numpy as np
 
-    Raises on failure — a bench run without a flops count must fail
-    loudly, not publish null (round-3 verdict item 1)."""
-    return flops_mod.canonical_train_step_flops(cfg, batch_size)
+    import jax
 
+    from speech2affective_gestures_tpu import compile_cache
 
-def _measure(train_step, state, batch, key):
-    """Honest steps/s: dependent-chain windows ending in a value fetch,
-    slope between the two window sizes, median over REPS."""
+    compile_cache.enable()  # persistent XLA cache (S2AG_COMPILE_CACHE=0 off)
 
-    def step(carry):
-        st, k = carry
-        k, sub = jax.random.split(k)
-        st, metrics = train_step(st, batch, sub, gan_on=True)
-        return st, k
+    from speech2affective_gestures_tpu.config import ModelConfig
+    from speech2affective_gestures_tpu.models import layers
+    from speech2affective_gestures_tpu.ops import backend
+    from speech2affective_gestures_tpu.train import builder
+    from speech2affective_gestures_tpu.train import flops as flops_mod
+    from speech2affective_gestures_tpu.train import timing
 
-    # train_step donates its input state, so every window starts from a
-    # fresh copy (made outside the timed region)
-    import jax.numpy as jnp
+    def emit(payload):
+        payload["elapsed_s"] = round(time.monotonic() - t0, 1)
+        print(json.dumps(payload), flush=True)
 
-    def make_carry():
-        return jax.tree.map(jnp.copy, state), key
+    def check_mfu(mfu, what):
+        if mfu is not None and mfu > 1.0:
+            raise SystemExit(
+                f"IMPOSSIBLE MFU {mfu:.3f} for {what} — measurement is "
+                "broken, refusing to publish"
+            )
 
-    res = timing.time_compiled_step(step, make_carry,
-                                    windows=WINDOWS, reps=REPS)
-    return res
+    def measure_step(train_step, state, batch, key):
+        """Honest steps/s: dependent-chain windows ending in a value fetch,
+        slope between the two window sizes, median over REPS."""
+        import jax.numpy as jnp
 
+        def step(carry):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            st, _metrics = train_step(st, batch, sub, gan_on=True)
+            return st, k
 
-def main():
+        # train_step donates its input state, so every window starts from
+        # a fresh copy (made outside the timed region)
+        def make_carry():
+            return jax.tree.map(jnp.copy, state), key
+
+        return timing.time_compiled_step(step, make_carry,
+                                         windows=WINDOWS, reps=REPS)
+
+    # ---------------------------------------------- required: the headline
     cfg = ModelConfig()  # full paper config
     setup = builder.init_training(
         cfg, jax.random.key(0), n_words=1000, n_speakers=100
@@ -167,64 +227,27 @@ def main():
     # fallback must be visible in the artifact)
     gru_engine = layers._gru_engine()
 
-    # XLA's own count as a cross-check, loud when unavailable
-    xla_batch = jax.device_put(builder.synthetic_batch(
+    head_batch = jax.device_put(builder.synthetic_batch(
         np.random.default_rng(0), HEADLINE_BATCH, cfg, 1000, 100
     ))
-    flops_xla, flops_xla_err = _xla_cost_flops(train_step, state, xla_batch, key)
-    if flops_xla_err is not None:
-        print(f"bench: XLA cost analysis unavailable ({flops_xla_err}); "
-              "MFU uses the analytic jaxpr count (train/flops.py)",
-              file=sys.stderr)
+    res = measure_step(train_step, state, head_batch, key)
+    steps_per_sec = res["steps_per_sec"]
+    # Algorithmic FLOPs per step — the MFU numerator for every engine and
+    # precision: an analytic jaxpr walk (train/flops.py) of the lax.scan-
+    # engine step, abstract tracing only (no compile, no device work).
+    # Counting whatever program actually runs would let backend padding
+    # inflate "utilization" (the pallas-v2 GRU pre-pads gate columns, so
+    # its compiled count is ~40% higher for the same useful math). The
+    # convention is pinned by tests/test_flops.py at 427G for bs128; the
+    # r2 "315G" (pallas custom-call undercount) and r5-internal "307.7G"
+    # (unoptimized-HLO cost_analysis, counts scan bodies once) numerators
+    # are retired — see docs/PERFORMANCE.md for the full history.
+    # Raises on failure: a bench run without a flop count must fail loudly,
+    # never publish null (round-3 verdict item 1).
+    flops = flops_mod.canonical_train_step_flops(cfg, HEADLINE_BATCH)
+    mfu = (flops * steps_per_sec / peak) if peak else None
+    check_mfu(mfu, f"f32 bs{HEADLINE_BATCH}")
 
-    results = {}
-    for bs in sorted(set(SWEEP_BATCHES) | {HEADLINE_BATCH}):
-        batch = jax.device_put(builder.synthetic_batch(
-            np.random.default_rng(0), bs, cfg, 1000, 100
-        ))
-        res = _measure(train_step, state, batch, key)
-        steps_per_sec = res["steps_per_sec"]
-        flops = _canonical_flops(cfg, bs)  # raises on failure — no nulls
-        mfu = (flops * steps_per_sec / peak) if peak else None
-        if mfu is not None and mfu > 1.0:
-            raise SystemExit(
-                f"IMPOSSIBLE MFU {mfu:.3f} at batch {bs} "
-                f"({flops * steps_per_sec / 1e12:.1f} TFLOP/s vs peak "
-                f"{peak / 1e12:.0f}) — measurement is broken, refusing to "
-                "publish"
-            )
-        results[bs] = {
-            "steps_per_sec": steps_per_sec,
-            "samples_per_sec": steps_per_sec * bs,
-            "flops_per_step": flops,
-            "mfu": mfu,
-            "slope_samples_ms": [round(s * 1e3, 2) for s in res["slope_samples"]],
-        }
-
-    # secondary: bf16 mixed precision (f32 master weights/BN stats/eval) —
-    # the framework's recommended TPU training mode; the HEADLINE stays the
-    # f32 parity-faithful step because the reference trains f32 and the
-    # trajectory-parity suite pins that path
-    mp_setup = builder.init_training(
-        cfg, jax.random.key(0), n_words=1000, n_speakers=100,
-        mixed_precision=True,
-    )
-    mp_batch = jax.device_put(builder.synthetic_batch(
-        np.random.default_rng(0), HEADLINE_BATCH, cfg, 1000, 100
-    ))
-    mp_res = _measure(mp_setup["train_step"], mp_setup["state"], mp_batch, key)
-    mp_steps = mp_res["steps_per_sec"]
-    # same canonical (useful-work) numerator as the f32 rows: bf16 does
-    # the same math, so its MFU is directly comparable
-    mp_flops = results[HEADLINE_BATCH]["flops_per_step"]
-    mp_mfu = (mp_flops * mp_steps / peak) if peak else None
-    if mp_mfu is not None and mp_mfu > 1.0:
-        raise SystemExit(f"IMPOSSIBLE mixed-precision MFU {mp_mfu:.3f}")
-
-    head = results[HEADLINE_BATCH]
-    best_bs = max(results, key=lambda b: results[b]["samples_per_sec"])
-    best = results[best_bs]
-    steps_per_sec = head["steps_per_sec"]
     payload = {
         "metric": f"gan_train_steps_per_sec_bs{HEADLINE_BATCH}",
         "value": round(steps_per_sec, 3),
@@ -242,22 +265,107 @@ def main():
         "peak_flops_spec": peak_spec,
         "peak_flops_measured": (round(peak_measured / 1e12, 1) * 1e12
                                 if peak_measured else None),
-        "samples_per_sec": round(head["samples_per_sec"], 1),
-        "mfu": round(head["mfu"], 4) if head["mfu"] is not None else None,
-        "flops_per_step": head["flops_per_step"],
+        "samples_per_sec": round(steps_per_sec * HEADLINE_BATCH, 1),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "flops_per_step": flops,
         "flops_model": "analytic_jaxpr_scan_engine",
-        "flops_xla": flops_xla,
-        "flops_xla_error": flops_xla_err,
         "gru_engine": gru_engine,
         "backend": backend.backend_name(),
-        "slope_samples_ms_bs128": head["slope_samples_ms"],
-        "best_config": {
-            "batch_size": best_bs,
-            "steps_per_sec": round(best["steps_per_sec"], 3),
-            "samples_per_sec": round(best["samples_per_sec"], 1),
-            "mfu": round(best["mfu"], 4) if best["mfu"] is not None else None,
-        },
-        "mixed_precision": {
+        "slope_samples_ms_bs128": [
+            round(s * 1e3, 2) for s in res["slope_samples"]
+        ],
+        "budget_s": BUDGET_S,
+        "stages": {"headline": "ok"},
+    }
+    emit(payload)
+
+    def gate(name, est):
+        """True if the stage may start; records the skip otherwise."""
+        left = remaining()
+        if left < est:
+            payload["stages"][name] = (
+                f"skipped (needs ~{est:.0f}s, {left:.0f}s left)"
+            )
+            return False
+        return True
+
+    def run_stage(name, est, fn):
+        if not gate(name, est):
+            emit(payload)
+            return
+        try:
+            fn()
+            payload["stages"][name] = "ok"
+        except SystemExit:
+            raise
+        except Exception as e:  # noqa: BLE001 — recorded, not fatal
+            payload["stages"][name] = f"error: {type(e).__name__}: {e}"
+            print(f"bench: stage {name} failed: {e}", file=sys.stderr)
+        emit(payload)
+
+    # ------------------- enrichment 1: the composed recommended user mode
+    # (bf16 + steps_per_program 8 + metrics_lag 8 — what a user actually
+    # gets from the Trainer epoch loop, round-4 verdict item 4: the
+    # README's end-to-end iters/s claim must live in a driver artifact)
+    def composed_user_epoch():
+        import tempfile
+
+        from speech2affective_gestures_tpu.data import ted_db
+        from speech2affective_gestures_tpu.train.trainer import Trainer
+
+        iters = int(os.environ.get("S2AG_BENCH_EPOCH_ITERS", "24"))
+        ccfg = ModelConfig(batch_size=HEADLINE_BATCH, loss_warmup=-1)
+        need = (iters + 4) * HEADLINE_BATCH
+        n_videos, clip_seconds = 8, 60.0
+        while True:
+            videos = ted_db.make_synthetic_videos(
+                n_videos=n_videos, clip_seconds=clip_seconds)
+            ds = ted_db.build_dataset_from_videos(videos, ccfg,
+                                                  keep_sidecars=False)
+            if ds.n_samples >= need:
+                break
+            n_videos *= 2
+        tr = Trainer(ccfg, tempfile.mkdtemp(prefix="bench_composed_"),
+                     train_data=ds, val_data=ds, seed=3, metrics_lag=8,
+                     steps_per_program=8, mixed_precision=True)
+        tr.epoch = 1
+        tr.logger.print_log = lambda *a, **k: None
+        tr.per_train_epoch(log_interval=10**9, max_iters=16)  # warm/compile
+        times = []
+        for _ in range(2):
+            t_ep = time.perf_counter()
+            tr.per_train_epoch(log_interval=10**9, max_iters=iters)
+            times.append((time.perf_counter() - t_ep) / iters)
+        sec = float(np.median(times))
+        payload["composed_user_epoch"] = {
+            "mode": "bf16 + steps_per_program=8 + metrics_lag=8",
+            "batch_size": HEADLINE_BATCH,
+            "iters": iters,
+            "ms_per_iter": round(sec * 1e3, 2),
+            "iters_per_sec": round(1.0 / sec, 2),
+            "epoch_engine": getattr(tr, "epoch_engine", None),
+        }
+
+    run_stage("composed_user_epoch", STAGE_ESTIMATES["composed_user_epoch"],
+              composed_user_epoch)
+
+    # --------------------------- enrichment 2: bf16 mixed-precision step
+    # (f32 master weights/BN stats/eval — the recommended TPU training
+    # mode; the HEADLINE stays the f32 parity-faithful step because the
+    # reference trains f32 and the trajectory-parity suite pins that path)
+    def mixed_precision():
+        mp_setup = builder.init_training(
+            cfg, jax.random.key(0), n_words=1000, n_speakers=100,
+            mixed_precision=True,
+        )
+        mp_res = measure_step(mp_setup["train_step"], mp_setup["state"],
+                              head_batch, key)
+        mp_steps = mp_res["steps_per_sec"]
+        # same canonical (useful-work) numerator as the f32 row: bf16 does
+        # the same math, so its MFU is directly comparable
+        mp_mfu = (flops * mp_steps / peak) if peak else None
+        check_mfu(mp_mfu, "bf16 step")
+        payload["mixed_precision"] = {
             "batch_size": HEADLINE_BATCH,
             "steps_per_sec": round(mp_steps, 3),
             "samples_per_sec": round(mp_steps * HEADLINE_BATCH, 1),
@@ -265,10 +373,62 @@ def main():
             "note": "bf16 step, f32 master weights/BN stats/eval "
                     "(--mixed-precision); headline stays the f32 "
                     "parity-faithful step",
-        },
-    }
-    print(json.dumps(payload))
+        }
+
+    run_stage("mixed_precision", STAGE_ESTIMATES["mixed_precision"],
+              mixed_precision)
+
+    # ------------------------------- enrichment 3: batch-size sweep (f32)
+    best = {"batch_size": HEADLINE_BATCH,
+            "steps_per_sec": round(steps_per_sec, 3),
+            "samples_per_sec": round(steps_per_sec * HEADLINE_BATCH, 1),
+            "mfu": round(mfu, 4) if mfu is not None else None}
+    payload["best_config"] = best
+    for bs in SWEEP_BATCHES:
+        if bs == HEADLINE_BATCH:
+            continue
+
+        def sweep_one(bs=bs):
+            batch = jax.device_put(builder.synthetic_batch(
+                np.random.default_rng(0), bs, cfg, 1000, 100
+            ))
+            r = measure_step(train_step, state, batch, key)
+            sps = r["steps_per_sec"]
+            f = flops_mod.canonical_train_step_flops(cfg, bs)
+            m = (f * sps / peak) if peak else None
+            check_mfu(m, f"f32 bs{bs}")
+            row = {"batch_size": bs, "steps_per_sec": round(sps, 3),
+                   "samples_per_sec": round(sps * bs, 1),
+                   "mfu": round(m, 4) if m is not None else None}
+            payload.setdefault("sweep", []).append(row)
+            if row["samples_per_sec"] > payload["best_config"]["samples_per_sec"]:
+                payload["best_config"] = row
+
+        run_stage(f"sweep_bs{bs}", STAGE_ESTIMATES["sweep"], sweep_one)
+
+    # -------------------- enrichment 4: XLA's own flop count, cross-check
+    # (a cold multi-minute compile on this tunnel — the single biggest
+    # contributor to the r4 timeout, hence strictly LAST and gated)
+    def xla_cost_check():
+        lowered = train_step.lower(state, head_batch, key, gan_on=True)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else None
+        if cost is None:
+            raise RuntimeError(
+                "cost_analysis() returned None (unsupported platform)")
+        xf = float(cost.get("flops", -1.0))
+        if xf <= 0:
+            raise RuntimeError(
+                f"cost_analysis() has no positive 'flops' entry (got {xf})")
+        payload["flops_xla"] = xf
+
+    run_stage("xla_cost_check", STAGE_ESTIMATES["xla_cost_check"],
+              xla_cost_check)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("S2AG_BENCH_WORKER") == "1":
+        sys.exit(worker())
+    sys.exit(supervisor())

@@ -241,17 +241,32 @@ class Trainer:
         elif loader not in ("device", "grain"):
             raise ValueError(f"unknown loader {loader!r} (device|grain)")
 
+        # surfaced fallback (round-4 verdict item 6): when the scanned
+        # epoch is requested but ineligible, the reason is kept on the
+        # trainer, stamped into every epoch log line, and exported by
+        # artifact emitters (bench.py composed block, dress_rehearsal) —
+        # a silent engine downgrade invalidates perf claims
+        self.epoch_engine_fallback: str | None = None
         if (self.steps_per_program > 1 and train_data is not None
                 and not self._use_scanned_epoch()):
-            logging.warning(
-                "steps_per_program=%d requested but the scanned epoch needs "
-                "the 'device' loader, trimodal_metric_interval=1, and (on a "
-                "mesh) batch_size divisible by the data axis; falling back "
-                "to the per-step loop", self.steps_per_program,
+            self.epoch_engine_fallback = (
+                f"steps_per_program={self.steps_per_program} requested but "
+                "the scanned epoch needs the 'device' loader, "
+                "trimodal_metric_interval=1, and (on a mesh) batch_size "
+                "divisible by the data axis; fell back to the per-step loop"
             )
+            logging.warning("%s", self.epoch_engine_fallback)
             self.steps_per_program = 1
 
     # ------------------------------------------------------------- epochs
+    @property
+    def epoch_engine(self) -> str:
+        """Which epoch driver actually runs: 'scanned' (K steps per device
+        program via lax.scan) or 'per_step'. Artifact emitters record this
+        so a requested-but-ineligible steps_per_program never silently
+        downgrades a perf claim (see epoch_engine_fallback for the why)."""
+        return "scanned" if self._use_scanned_epoch() else "per_step"
+
     def _next_rng(self):
         self.rng, sub = jax.random.split(self.rng)
         return sub
@@ -519,7 +534,8 @@ class Trainer:
             total, n = total_l1, n_l1
         self.logger.print_log(
             f"epoch {self.epoch} train: mean_s2ag_loss {total / max(n,1):.4f} "
-            f"({time.time() - start:.1f}s, {n_l1} iters)"
+            f"({time.time() - start:.1f}s, {n_l1} iters, "
+            f"engine {self.epoch_engine})"
         )
         return total / max(n, 1)
 

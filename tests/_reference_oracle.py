@@ -73,6 +73,32 @@ def reference_v2_nets():
         return None
 
 
+def reference_fgd_evaluator():
+    """Import the reference's FGD scorer (net/embedding_space_evaluator.py)
+    as a behavioral oracle for score COMPUTATION parity.
+
+    Its import chain needs librosa/fasttext (stubbed, same as
+    reference_v2_nets — never called on the scoring path) plus umap (only
+    used by get_features_for_viz, also stubbed). The scoring methods
+    (get_scores / calculate_frechet_distance, lines 74-156) touch only
+    numpy + scipy.linalg, both installed."""
+    import types
+
+    if reference_v2_nets() is None:  # installs librosa/fasttext shims
+        return None
+    if "umap" not in sys.modules:
+        umap_stub = types.ModuleType("umap")
+        umap_stub.UMAP = object
+        sys.modules["umap"] = umap_stub
+
+    try:
+        import importlib
+
+        return importlib.import_module("net.embedding_space_evaluator")
+    except Exception:
+        return None
+
+
 def reference_abl_nets(which: str):
     """Import an ablation model file ('abl_audio' | 'abl_aff') with the same
     shims as reference_v2_nets."""

@@ -140,3 +140,29 @@ def test_fallback_to_per_step_when_ineligible(tiny_ds):
                 steps_per_program=4, trimodal_metric_interval=2)
     assert t.steps_per_program == 1
     assert not t._use_scanned_epoch()
+
+
+def test_epoch_engine_surfaced(tiny_ds):
+    # round-4 verdict item 6: the engine that actually runs — and any
+    # fallback reason — must be inspectable (artifact emitters stamp it)
+    # and stamped into the epoch log line, never a silent downgrade
+    t_ok = Trainer(_cfg(), tempfile.mkdtemp(), train_data=tiny_ds, seed=3,
+                   steps_per_program=2)
+    assert t_ok.epoch_engine == "scanned"
+    assert t_ok.epoch_engine_fallback is None
+
+    t_fb = Trainer(_cfg(), tempfile.mkdtemp(), train_data=tiny_ds, seed=3,
+                   steps_per_program=4, trimodal_metric_interval=2)
+    assert t_fb.epoch_engine == "per_step"
+    assert "fell back" in t_fb.epoch_engine_fallback
+
+
+@pytest.mark.slow
+def test_epoch_engine_in_log_line(tiny_ds):
+    # the engine stamp must reach the epoch log line itself
+    t = Trainer(_cfg(), tempfile.mkdtemp(), train_data=tiny_ds, seed=3,
+                steps_per_program=4, trimodal_metric_interval=2)
+    lines = []
+    t.logger.print_log = lines.append
+    t.per_train_epoch(log_interval=10**9, max_iters=2)
+    assert any(re.search(r"engine per_step", ln) for ln in lines)

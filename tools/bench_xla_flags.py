@@ -28,6 +28,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -108,6 +109,9 @@ def main(argv=None):
     p.add_argument("--cache-root", default="/tmp/s2ag_xla_flag_cache")
     args = p.parse_args(argv)
     windows = tuple(int(w) for w in args.windows.split(","))
+    if len(windows) != 2 or windows[1] <= windows[0] or windows[0] <= 0:
+        p.error(f"--windows must be exactly two increasing positive sizes "
+                f"N1,N2 (the slope estimator), got {args.windows!r}")
 
     if args.one:
         print(json.dumps(run_one(args.batch_size, windows, args.reps,
@@ -122,9 +126,15 @@ def main(argv=None):
 
     results = {tag: [] for tag, _ in settings}
     failed = {}
+    # a setting is dropped only after this many CONSECUTIVE child failures;
+    # a single flake on the shared axon host (the usual case) just skips
+    # that cycle and the setting retries next cycle — permanently losing
+    # the baseline to a cycle-0 flake would void the whole comparison
+    consec_failures = {tag: 0 for tag, _ in settings}
+    max_consec = 2
     for cycle in range(args.cycles):
         for tag, flags in settings:
-            if tag in failed:
+            if consec_failures[tag] >= max_consec:
                 continue
             env = dict(os.environ,
                        S2AG_COMPILE_CACHE=os.path.join(args.cache_root, tag))
@@ -135,13 +145,25 @@ def main(argv=None):
                    "--windows", args.windows, "--reps", str(args.reps)]
             if args.mixed_precision:
                 cmd.append("--mixed-precision")
-            out = subprocess.run(cmd, env=env, capture_output=True,
-                                 text=True, timeout=3600)
-            if out.returncode != 0:
-                failed[tag] = out.stderr.strip().splitlines()[-3:]
+            try:
+                out = subprocess.run(cmd, env=env, capture_output=True,
+                                     text=True, timeout=3600)
+                err_lines = (None if out.returncode == 0
+                             else out.stderr.strip().splitlines()[-3:])
+            except subprocess.TimeoutExpired:
+                # a hung child must not abort the multi-hour sweep: record
+                # it like any other child error and keep going
+                err_lines = [f"child timed out after 3600s (cycle {cycle})"]
+            if err_lines is not None:
+                consec_failures[tag] += 1
+                failed[tag] = err_lines
                 print(json.dumps({"tag": tag, "cycle": cycle,
-                                  "failed": failed[tag]}), flush=True)
+                                  "failed": err_lines,
+                                  "consecutive": consec_failures[tag]}),
+                      flush=True)
                 continue
+            consec_failures[tag] = 0
+            failed.pop(tag, None)
             rec = json.loads(out.stdout.strip().splitlines()[-1])
             rec["tag"], rec["cycle"] = tag, cycle
             results[tag].append(rec)
@@ -152,7 +174,11 @@ def main(argv=None):
         if not recs:
             continue
         ms = sorted(r["ms_per_step"] for r in recs)
-        summary[tag] = {"median_ms_per_step": ms[len(ms) // 2],
+        # statistics.median (not the upper-median ms[n//2]): reps x cycles
+        # is often even, and train/timing.py uses the true median — the
+        # per-setting comparison must not carry a systematic half-sample
+        # bias
+        summary[tag] = {"median_ms_per_step": float(statistics.median(ms)),
                         "all_ms": ms, "n": len(ms)}
     print(json.dumps({"summary": summary, "failed": failed}, indent=2))
 

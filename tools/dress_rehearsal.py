@@ -83,6 +83,11 @@ def main(argv=None):
         "--s2ag-load-last-best", "false",
     ] + (["--mixed-precision", "true"] if args.mixed_precision else []))
     timings["train_and_eval_s"] = round(time.perf_counter() - t0, 2)
+    # which epoch driver actually ran (round-4 verdict item 6: a
+    # steps_per_program request that silently fell back to the per-step
+    # loop must be visible in the artifact, like the gru_engine stamp)
+    payload["epoch_engine"] = trainer.epoch_engine
+    payload["epoch_engine_fallback"] = trainer.epoch_engine_fallback
     payload["epochs"] = args.epochs
     payload["train_samples"] = trainer.train_data.n_samples
     payload["checkpoints"] = sorted(
