@@ -52,7 +52,7 @@ import sys
 import threading
 import time
 
-BUDGET_S = float(os.environ.get("S2AG_BENCH_BUDGET_S", "420"))
+BUDGET_S = float(os.environ.get("S2AG_BENCH_BUDGET_S", "480"))
 
 # steps/sec of the reference's own modules running the same step on
 # torch-CPU in this container (1 CPU thread) — tools/bench_torch_baseline.py
@@ -94,15 +94,13 @@ STAGE_ESTIMATES = {
 
 
 # --------------------------------------------------------------- supervisor
-def supervisor() -> int:
-    """Spawn the worker, stream its payload lines, print the LATEST one.
-
-    Never imports JAX, so nothing here can block uninterruptibly: the
+def supervise(cmd, budget_s, grace_s=20.0) -> int:
+    """Spawn `cmd` as the worker, stream its payload lines, print the LATEST
+    one. Never imports JAX, so nothing here can block uninterruptibly: the
     deadline is enforceable no matter where the worker is stuck."""
     env = dict(os.environ, S2AG_BENCH_WORKER="1")
     proc = subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__)],
-        stdout=subprocess.PIPE, stderr=None, text=True, env=env,
+        cmd, stdout=subprocess.PIPE, stderr=None, text=True, env=env,
     )
     latest: dict = {}
     lock = threading.Lock()
@@ -123,11 +121,11 @@ def supervisor() -> int:
 
     t = threading.Thread(target=reader, daemon=True)
     t.start()
-    # +20 s grace: the worker gates its own stages on the same budget and
+    # + grace: the worker gates its own stages on the same budget and
     # should exit first; the kill is the backstop for a stage blocked in
     # C++ past its estimate
     try:
-        proc.wait(timeout=BUDGET_S + 20)
+        proc.wait(timeout=budget_s + grace_s)
         killed = False
     except subprocess.TimeoutExpired:
         proc.kill()
@@ -139,18 +137,39 @@ def supervisor() -> int:
     if not payload:
         print(
             "bench: worker produced no payload before the "
-            f"{BUDGET_S:.0f}s budget (killed={killed}, rc={proc.returncode})",
+            f"{budget_s:.0f}s budget (killed={killed}, rc={proc.returncode})",
             file=sys.stderr,
         )
         return 1
     if killed:
         payload["stages"] = dict(payload.get("stages", {}))
         payload.setdefault("stages", {})["_supervisor"] = (
-            f"worker killed at the {BUDGET_S:.0f}s budget; "
+            f"worker killed at the {budget_s:.0f}s budget; "
             "payload is the last enrichment that completed"
         )
     print(json.dumps(payload), flush=True)
     return 0
+
+
+def xla_cost_flops(train_step, state, batch, key) -> float:
+    """XLA's own per-step flop count via compile().cost_analysis().
+
+    Raises RuntimeError carrying the CAUSE on any failure — a bench run
+    must record why the cross-check is absent, never publish a silent
+    null (the BENCH_r03 mfu:null regression; run_stage() turns the raise
+    into a loud payload["stages"] entry)."""
+    lowered = train_step.lower(state, batch, key, gan_on=True)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else None
+    if cost is None:
+        raise RuntimeError(
+            "cost_analysis() returned None (unsupported platform)")
+    xf = float(cost.get("flops", -1.0))
+    if xf <= 0:
+        raise RuntimeError(
+            f"cost_analysis() has no positive 'flops' entry (got {xf})")
+    return xf
 
 
 # ------------------------------------------------------------------ worker
@@ -159,6 +178,12 @@ def worker() -> int:
 
     def remaining() -> float:
         return BUDGET_S - (time.monotonic() - t0)
+
+    def trace(msg):
+        """Progress stamps on stderr: when the supervisor kills a stuck
+        worker, the driver log must say WHERE it was stuck."""
+        print(f"bench worker [{time.monotonic() - t0:7.1f}s] {msg}",
+              file=sys.stderr, flush=True)
 
     import numpy as np
 
@@ -206,6 +231,7 @@ def worker() -> int:
                                          windows=WINDOWS, reps=REPS)
 
     # ---------------------------------------------- required: the headline
+    trace("imports done; building model/optimizer state")
     cfg = ModelConfig()  # full paper config
     setup = builder.init_training(
         cfg, jax.random.key(0), n_words=1000, n_speakers=100
@@ -216,9 +242,17 @@ def worker() -> int:
 
     device_kind = jax.devices()[0].device_kind
     peak_spec = PEAK_FLOPS.get(device_kind)
-    peak_measured = timing.measure_peak_flops()
-    if peak_measured <= 0:  # drowned by tunnel jitter — don't publish noise
-        peak_measured = None
+    peak_measured = None
+    if peak_spec is None:
+        # unknown device: the measured peak is the only possible MFU
+        # denominator, so it must land BEFORE the headline; on known TPUs
+        # it is a cross-check and runs as an enrichment stage (cold cost
+        # on this tunnel: ~167 s at the old (200,600)x5 sizing — the r4
+        # timeout's second-biggest contributor after eager init)
+        trace(f"unknown device {device_kind!r}; measuring matmul peak now")
+        peak_measured = timing.measure_peak_flops(windows=(100, 300), reps=3)
+        if peak_measured <= 0:  # drowned by tunnel jitter — don't publish
+            peak_measured = None
     # MFU denominator: the spec-sheet peak when known, else the measured one
     peak = peak_spec or peak_measured
 
@@ -230,8 +264,10 @@ def worker() -> int:
     head_batch = jax.device_put(builder.synthetic_batch(
         np.random.default_rng(0), HEADLINE_BATCH, cfg, 1000, 100
     ))
+    trace(f"timing the bs{HEADLINE_BATCH} f32 step (cold compile included)")
     res = measure_step(train_step, state, head_batch, key)
     steps_per_sec = res["steps_per_sec"]
+    trace(f"headline measured: {steps_per_sec:.1f} steps/s")
     # Algorithmic FLOPs per step — the MFU numerator for every engine and
     # precision: an analytic jaxpr walk (train/flops.py) of the lax.scan-
     # engine step, abstract tracing only (no compile, no device work).
@@ -291,8 +327,10 @@ def worker() -> int:
 
     def run_stage(name, est, fn):
         if not gate(name, est):
+            trace(f"stage {name}: {payload['stages'][name]}")
             emit(payload)
             return
+        trace(f"stage {name}: starting ({remaining():.0f}s budget left)")
         try:
             fn()
             payload["stages"][name] = "ok"
@@ -302,6 +340,16 @@ def worker() -> int:
             payload["stages"][name] = f"error: {type(e).__name__}: {e}"
             print(f"bench: stage {name} failed: {e}", file=sys.stderr)
         emit(payload)
+
+    # NOTE on the measured-peak cross-check: NOT run as a stage on known
+    # devices. timing.measure_peak_flops costs 150-300 s on this tunnel
+    # (one big-matmul compile+autotune dominates) for a number that has
+    # repeatedly confirmed the spec sheet (192.5 / 189.3 TF/s vs the 197
+    # TF/s v5e spec, rounds 4-5); burning a third of the artifact budget
+    # on it starved the composed/bf16 stages. Run it manually via
+    # `python -c "from speech2affective_gestures_tpu.train import timing;
+    # print(timing.measure_peak_flops())"` when the denominator is in
+    # doubt. Unknown devices still measure it pre-headline (above).
 
     # ------------------- enrichment 1: the composed recommended user mode
     # (bf16 + steps_per_program 8 + metrics_lag 8 — what a user actually
@@ -410,18 +458,8 @@ def worker() -> int:
     # (a cold multi-minute compile on this tunnel — the single biggest
     # contributor to the r4 timeout, hence strictly LAST and gated)
     def xla_cost_check():
-        lowered = train_step.lower(state, head_batch, key, gan_on=True)
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0] if cost else None
-        if cost is None:
-            raise RuntimeError(
-                "cost_analysis() returned None (unsupported platform)")
-        xf = float(cost.get("flops", -1.0))
-        if xf <= 0:
-            raise RuntimeError(
-                f"cost_analysis() has no positive 'flops' entry (got {xf})")
-        payload["flops_xla"] = xf
+        payload["flops_xla"] = xla_cost_flops(train_step, state,
+                                              head_batch, key)
 
     run_stage("xla_cost_check", STAGE_ESTIMATES["xla_cost_check"],
               xla_cost_check)
@@ -431,4 +469,4 @@ def worker() -> int:
 if __name__ == "__main__":
     if os.environ.get("S2AG_BENCH_WORKER") == "1":
         sys.exit(worker())
-    sys.exit(supervisor())
+    sys.exit(supervise([sys.executable, os.path.abspath(__file__)], BUDGET_S))

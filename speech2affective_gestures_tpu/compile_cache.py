@@ -22,18 +22,30 @@ import os
 
 DEFAULT_DIR = os.path.expanduser("~/.cache/s2ag_xla_cache")
 
+# a warmed cache shipped inside the repo checkout (tools/warm_compile_cache.py
+# creates it): lets a FRESH container skip the multi-minute cold compiles of
+# the flagship programs, e.g. the driver's bench run. Only used when present.
+REPO_WARM_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".xla_warm_cache",
+)
+
 
 def enable(path: str | None = None) -> str | None:
     """Turn on the persistent compilation cache; returns the dir or None.
 
-    Precedence: explicit arg > S2AG_COMPILE_CACHE env > DEFAULT_DIR.
+    Precedence: explicit arg > S2AG_COMPILE_CACHE env > repo-local warmed
+    cache (if the checkout ships one) > DEFAULT_DIR.
     A value of "0"/"" disables. Must run before the first compilation to
     help that compilation (later calls still help subsequent ones).
     """
     import jax
 
     if path is None:
-        path = os.environ.get("S2AG_COMPILE_CACHE", DEFAULT_DIR)
+        path = os.environ.get("S2AG_COMPILE_CACHE")
+    if path is None:
+        path = (REPO_WARM_DIR if os.path.isdir(REPO_WARM_DIR)
+                else DEFAULT_DIR)
     if not path or path == "0":
         return None
     os.makedirs(path, exist_ok=True)

@@ -230,12 +230,17 @@ def deserialize(data: bytes) -> Any:
         raise ImportError("pyarrow is required for legacy deserialization")
     buf = bytes(data)
 
-    last_err = None
+    errors = []
     # header variants: 0.14.0 writes 4 counts (tensors, sparse, ndarrays,
-    # buffers); earliest 0.x wrote 3. Try the 0.14 layout first.
+    # buffers); earliest 0.x wrote 3. Try the 0.14 layout first. Each
+    # variant's FULL walk is attempted — a mid-walk failure under one
+    # header interpretation (e.g. a 3-count blob with buffers misread as
+    # 4-count) must not pre-empt the other; only when every variant fails
+    # is the combined cause list raised.
     for n_counts in (4, 3):
         parsed = _try_header(buf, n_counts)
         if parsed is None:
+            errors.append(f"{n_counts}-count header: too short/implausible")
             continue
         counts, offset = parsed
         if n_counts == 4:
@@ -244,54 +249,66 @@ def deserialize(data: bytes) -> Any:
                 # either a genuine sparse-tensor blob (unsupported, never
                 # produced by the TED pipeline) or a 3-count header read
                 # as 4 counts — try the next variant
-                last_err = LegacyFormatError(
-                    "sparse tensors are not supported"
+                errors.append(
+                    "4-count header: nonzero sparse-tensor count "
+                    f"({num_sparse}) — sparse tensors are not supported"
                 )
                 continue
         else:
             num_tensors, num_ndarrays, num_buffers = counts
         try:
-            batch, pos = _read_batch(buf, offset)
-        except (pa.ArrowInvalid, OSError) as e:
-            last_err = e
-            continue
-        tensors, pos = _read_tensors(buf, pos, num_tensors)
-        ndarrays, pos = _read_tensors(buf, pos, num_ndarrays)
-        buffers = []
-        # the buffer block always starts 64-aligned: the writer aligns
-        # after the stream and after every tensor (serialize.cc WriteTo)
-        pos = _align(pos, _ALIGN_TENSOR)
-        for b_idx in range(num_buffers):
-            try:
-                (size,) = struct.unpack_from("<q", buf, pos)
-            except struct.error as e:
-                raise LegacyFormatError(
-                    f"buffer component {b_idx}/{num_buffers}: size field at "
-                    f"{pos} past end of blob"
-                ) from e
-            pos += 8
-            if size < 0 or pos + size > len(buf):
-                raise LegacyFormatError(
-                    f"buffer component {b_idx}/{num_buffers}: size {size} at "
-                    f"{pos} exceeds blob length {len(buf)}"
-                )
-            buffers.append(buf[pos:pos + size])
-            pos += size
-        comps = {"tensors": tensors, "ndarrays": ndarrays, "buffers": buffers}
-
-        col = batch.column(0)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if not isinstance(col, pa.UnionArray):
-            raise LegacyFormatError(
-                f"expected a union column, got {col.type}"
+            return _decode_with_counts(
+                buf, offset, num_tensors, num_ndarrays, num_buffers
             )
-        # element 0 is python serialize()'s [obj] wrapper
-        wrapper = _from_scalar(col[0], _scalar_field_name(col[0]), comps)
-        if not isinstance(wrapper, list) or len(wrapper) != 1:
-            raise LegacyFormatError("missing top-level [obj] wrapper")
-        return wrapper[0]
-    raise LegacyFormatError(f"unrecognized legacy serialize blob: {last_err}")
+        except (LegacyFormatError, pa.ArrowInvalid, OSError) as e:
+            errors.append(f"{n_counts}-count header: {e}")
+    raise LegacyFormatError(
+        "unrecognized legacy serialize blob: " + "; ".join(errors)
+    )
+
+
+def _decode_with_counts(buf: bytes, offset: int, num_tensors: int,
+                        num_ndarrays: int, num_buffers: int) -> Any:
+    """Walk one header interpretation end-to-end; raises LegacyFormatError
+    (or ArrowInvalid/OSError from pa.ipc) if the blob is inconsistent under
+    these counts."""
+    batch, pos = _read_batch(buf, offset)
+    tensors, pos = _read_tensors(buf, pos, num_tensors)
+    ndarrays, pos = _read_tensors(buf, pos, num_ndarrays)
+    buffers = []
+    # the buffer block always starts 64-aligned: the writer aligns
+    # after the stream and after every tensor (serialize.cc WriteTo)
+    pos = _align(pos, _ALIGN_TENSOR)
+    for b_idx in range(num_buffers):
+        try:
+            (size,) = struct.unpack_from("<q", buf, pos)
+        except struct.error as e:
+            raise LegacyFormatError(
+                f"buffer component {b_idx}/{num_buffers}: size field at "
+                f"{pos} past end of blob"
+            ) from e
+        pos += 8
+        if size < 0 or pos + size > len(buf):
+            raise LegacyFormatError(
+                f"buffer component {b_idx}/{num_buffers}: size {size} at "
+                f"{pos} exceeds blob length {len(buf)}"
+            )
+        buffers.append(buf[pos:pos + size])
+        pos += size
+    comps = {"tensors": tensors, "ndarrays": ndarrays, "buffers": buffers}
+
+    col = batch.column(0)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not isinstance(col, pa.UnionArray):
+        raise LegacyFormatError(
+            f"expected a union column, got {col.type}"
+        )
+    # element 0 is python serialize()'s [obj] wrapper
+    wrapper = _from_scalar(col[0], _scalar_field_name(col[0]), comps)
+    if not isinstance(wrapper, list) or len(wrapper) != 1:
+        raise LegacyFormatError("missing top-level [obj] wrapper")
+    return wrapper[0]
 
 
 # ---------------------------------------------------------------------------

@@ -188,7 +188,18 @@ def init_training(
 
     # abstract: the whole init (variables + optimizer zeros) stays shape-
     # level under eval_shape — zero compiles, zero device buffers
-    state = jax.eval_shape(_init_state, rng) if abstract else _init_state(rng)
+    if abstract:
+        state = jax.eval_shape(_init_state, rng)
+    elif jax.default_backend() != "cpu":
+        # eager init dispatches hundreds of tiny ops; on a remote-tunnel
+        # accelerator (~30 ms RTT each) that is minutes of wall clock for
+        # milliseconds of math (measured: 165 s on the axon v5e; host-CPU
+        # eager init still cost 57-300 s of cold CPU compiles). One jitted
+        # device program instead: a single compile, and — unlike eager —
+        # one the persistent compile cache can make free on later runs.
+        state = jax.jit(_init_state)(rng)
+    else:
+        state = _init_state(rng)
     tri_apply = tri.apply if with_trimodal else None
     if mixed_precision:
         # bf16 training step from wrapped applies; evaluation stays f32

@@ -21,6 +21,22 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache for the suite (S2AG_COMPILE_CACHE=0 disables,
+# =path moves). Two effects on this 1-core compile-bound host:
+# - WITHIN one run: tests that build fresh jit closures over identical
+#   programs (every Trainer re-jits its train step; parity tests compile
+#   N-of-the-same) hit the HLO-keyed cache instead of recompiling —
+#   this speeds even a cold CI run;
+# - ACROSS runs: reruns skip every unchanged program's compile.
+# Deliberately NOT the repo-local warm dir (compile_cache.REPO_WARM_DIR):
+# that ships TPU executables; CPU test entries would bloat the checkout.
+from speech2affective_gestures_tpu import compile_cache  # noqa: E402
+
+compile_cache.enable(
+    os.environ.get("S2AG_COMPILE_CACHE", compile_cache.DEFAULT_DIR)
+)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -167,26 +167,24 @@ class TestCanonicalStep:
         assert all(isinstance(l, jax.ShapeDtypeStruct) for l in leaves)
 
 
+def _load_bench():
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).resolve().parents[1] / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    return bench
+
+
 class TestBenchIntegration:
-    def test_xla_cost_flops_reports_cause_not_none_swallow(self):
-        """bench._xla_cost_flops must return the failure cause instead of
-        silently yielding None (the BENCH_r03 mfu:null regression)."""
-        import importlib.util
-        import pathlib
-
-        spec = importlib.util.spec_from_file_location(
-            "bench", pathlib.Path(__file__).resolve().parents[1] / "bench.py"
-        )
-        bench = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(bench)
-
-        class BoomStep:
-            def lower(self, *a, **k):
-                raise RuntimeError("boom")
-
-        got, err = bench._xla_cost_flops(BoomStep(), None, None, None)
-        assert got is None
-        assert "boom" in err
+    def test_xla_cost_flops_raises_with_cause(self):
+        """bench.xla_cost_flops must raise carrying the failure cause so
+        run_stage records it loudly in payload["stages"] — never a silent
+        null (the BENCH_r03 mfu:null regression)."""
+        bench = _load_bench()
 
         class NoneCost:
             def lower(self, *a, **k):
@@ -198,6 +196,57 @@ class TestBenchIntegration:
                         return C()
                 return L()
 
-        got, err = bench._xla_cost_flops(NoneCost(), None, None, None)
-        assert got is None
-        assert "returned None" in err
+        with pytest.raises(RuntimeError, match="returned None"):
+            bench.xla_cost_flops(NoneCost(), None, None, None)
+
+        class NoFlopsKey:
+            def lower(self, *a, **k):
+                class L:
+                    def compile(self):
+                        class C:
+                            def cost_analysis(self):
+                                return {"bytes accessed": 1.0}
+                        return C()
+                return L()
+
+        with pytest.raises(RuntimeError, match="no positive 'flops'"):
+            bench.xla_cost_flops(NoFlopsKey(), None, None, None)
+
+    def test_supervisor_prints_latest_payload_when_worker_hangs(self, capfd):
+        """The r4 timeout regression, pinned end-to-end: a worker that emits
+        a headline payload then blocks forever must still yield rc 0 and
+        EXACTLY ONE JSON line (the latest payload, stamped with the
+        supervisor-kill note) within the budget."""
+        import json
+        import sys
+
+        bench = _load_bench()
+        fake_worker = (
+            "import json,sys,time;"
+            "print(json.dumps({'metric':'m','value':1.0,'unit':'u',"
+            "'vs_baseline':1.0,'stages':{'headline':'ok'}}),flush=True);"
+            "time.sleep(600)"
+        )
+        rc = bench.supervise([sys.executable, "-c", fake_worker],
+                             budget_s=8.0, grace_s=0.5)
+        assert rc == 0
+        out = capfd.readouterr().out
+        lines = [ln for ln in out.splitlines() if ln.strip()]
+        assert len(lines) == 1
+        payload = json.loads(lines[0])
+        assert payload["metric"] == "m" and payload["value"] == 1.0
+        assert "_supervisor" in payload["stages"]
+
+    def test_supervisor_fails_loudly_on_no_payload(self, capfd):
+        """A worker that dies before any payload must produce rc != 0 and no
+        stdout JSON (the driver's parsed:null then points at stderr)."""
+        import sys
+
+        bench = _load_bench()
+        rc = bench.supervise(
+            [sys.executable, "-c", "import sys; sys.exit(3)"],
+            budget_s=5.0, grace_s=0.5)
+        assert rc == 1
+        out, err = capfd.readouterr()
+        assert not out.strip()
+        assert "no payload" in err

@@ -127,10 +127,20 @@ def test_aff_discriminator_full_parity(rng):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
 
 
+class _SmallArgs(_Args):
+    # reduced width/depth: conversion coverage is per-layer-type, not
+    # per-width, and the full-size pin lives in
+    # test_pose_generator_full_parity — at hidden 300 x 4 layers BOTH
+    # generators this file compiled ~4 min of CPU suite time (round-4
+    # verdict item 5)
+    hidden_size = 80
+    n_layers = 2
+
+
 def test_trimodal_generator_full_parity(rng, monkeypatch):
     _deterministic_z(monkeypatch)
     table = _word_table(rng)
-    tmod = ref.PoseGeneratorTriModal(_Args, 27, N_WORDS, 300, table,
+    tmod = ref.PoseGeneratorTriModal(_SmallArgs, 27, N_WORDS, 300, table,
                                      z_obj=_FakeVocab())
     tmod.eval()
     _randomize_bn_stats(tmod)
@@ -142,9 +152,10 @@ def test_trimodal_generator_full_parity(rng, monkeypatch):
         )
 
     sd = {k: v.detach().numpy() for k, v in tmod.state_dict().items()}
-    params, stats = ck.pose_generator_trimodal(sd)
+    params, stats = ck.pose_generator_trimodal(sd, n_layers=2)
     mod = G.PoseGeneratorTriModal(n_words=N_WORDS, word_embeddings=table,
-                                  n_speakers=N_SPK)
+                                  n_speakers=N_SPK, hidden_size=80,
+                                  n_layers=2)
     with HI:
         got, *_ = mod.apply(
             {"params": params, "batch_stats": stats},

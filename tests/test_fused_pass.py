@@ -24,7 +24,7 @@ from speech2affective_gestures_tpu.train import builder
 
 pytestmark = pytest.mark.slow  # compile-heavy
 
-CFG = ModelConfig(hidden_size=64, hidden_size_s2eg=64, n_layers=2)
+CFG = ModelConfig(hidden_size=32, hidden_size_s2eg=32, n_layers=2)
 N_WORDS, N_SPK = 40, 12
 
 

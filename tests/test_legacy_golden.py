@@ -159,6 +159,97 @@ def test_fuzz_component_index_out_of_range():
         legacy_arrow.deserialize(bytes(mutated))
 
 
+def test_sparse_tensor_blob_fails_loudly_naming_the_cause():
+    """A genuine 0.14 sparse-tensor blob (nonzero second header count) is
+    unsupported; the failure must both be loud AND name the sparse cause —
+    not just whatever downstream inconsistency the 3-count reinterpretation
+    of the same bytes happens to hit first."""
+    mutated = bytearray(BLOB)
+    struct.pack_into("<i", mutated, 4, 1)
+    with pytest.raises(legacy_arrow.LegacyFormatError,
+                       match="sparse tensors are not supported"):
+        legacy_arrow.deserialize(bytes(mutated))
+
+
+MIXED_NESTED = [
+    {"outer": [(1, [2.5, None, {"inner": {"deep", "set"}}]),
+               b"\x00raw", ("t", (True, False))],
+     "empty_list": [], "empty_dict": {}},
+    [[[["deep"]]], np.arange(4, dtype=np.float32)],
+    (None, {}, [], (), set()),
+]
+
+
+@pytest.mark.parametrize("header_counts", [4, 3])
+def test_mixed_nested_truncation_fuzz(header_counts):
+    """Round-trip a deliberately pathological mixed-nesting payload through
+    BOTH header variants, then truncate the blob at every 5th length: each
+    cut must raise LegacyFormatError — never hang, IndexError, or return
+    partial data (round-4 verdict item 7: the 3-count variant's error paths
+    were previously untested)."""
+    blob = legacy_arrow.serialize_legacy(MIXED_NESTED, header_counts)
+    got = legacy_arrow.deserialize(blob)
+    assert got[0]["outer"][0][1][2]["inner"] == {"deep", "set"}
+    assert got[2] == (None, {}, [], (), set())
+    np.testing.assert_array_equal(got[1][1], MIXED_NESTED[1][1])
+    for cut in list(range(0, len(blob), 5)) + [len(blob) - 1]:
+        with pytest.raises(legacy_arrow.LegacyFormatError):
+            legacy_arrow.deserialize(blob[:cut])
+
+
+def test_3count_blob_with_ndarray_decodes_via_sparse_fallthrough():
+    """A 3-count-header blob with ndarrays reads as (0, nd, 0, 0) under the
+    4-count layout — a nonzero 'sparse' count. The sparse rejection must
+    fall through to the 3-count interpretation, not fail the decode."""
+    blob = legacy_arrow.serialize_legacy(MIXED_NESTED, header_counts=3)
+    t, s, nd, b = struct.unpack_from("<4i", blob, 0)
+    assert (t, s, nd, b) == (0, 1, 0, 0)
+    got = legacy_arrow.deserialize(blob)
+    np.testing.assert_array_equal(got[1][1], MIXED_NESTED[1][1])
+
+
+def _make_3count_buffer_blob(payload: bytes) -> bytes:
+    """Hand-frame a 3-count blob whose only component is a raw BUFFER —
+    a shape serialize_legacy cannot emit. Its header bytes read as
+    (0, 0, 1, 0) under the 4-count layout (sparse count zero!), so the
+    4-count attempt WALKS: it tries to parse the buffer block as an
+    ndarray IPC message and fails mid-walk."""
+    inner = pa.UnionArray.from_dense(
+        pa.array([0], pa.int8()), pa.array([0], pa.int32()),
+        [pa.array([0], pa.int32())], ["buffer"], [0],
+    )
+    wrapper = pa.ListArray.from_arrays(pa.array([0, 1], pa.int32()), inner)
+    outer = pa.UnionArray.from_dense(
+        pa.array([0], pa.int8()), pa.array([0], pa.int32()),
+        [wrapper], ["list"], [0],
+    )
+    batch = pa.RecordBatch.from_arrays([outer], ["list"])
+    out = bytearray(struct.pack("<3i", 0, 0, 1))
+    out += b"\x00" * 4  # pad to 8... already 12 -> 16
+    sink = pa.BufferOutputStream()
+    opts = pa.ipc.IpcWriteOptions(
+        metadata_version=pa.ipc.MetadataVersion.V4, use_legacy_format=True
+    )
+    writer = pa.ipc.new_stream(sink, batch.schema, options=opts)
+    writer.write_batch(batch)
+    writer.close()
+    out += sink.getvalue().to_pybytes()
+    out += b"\x00" * (-len(out) % 64)
+    out += struct.pack("<q", len(payload)) + payload
+    return bytes(out)
+
+
+def test_3count_blob_with_buffer_not_preempted_by_4count_midwalk_failure():
+    """A mid-walk failure under the 4-count interpretation (here: the
+    buffer block misread as an ndarray message) must not pre-empt the
+    3-count interpretation that decodes the blob correctly."""
+    blob = _make_3count_buffer_blob(b"RAWBUFFER")
+    t, s, nd, b = struct.unpack_from("<4i", blob, 0)
+    assert (t, s, nd, b) == (0, 0, 1, 0)  # sparse==0: 4-count attempt walks
+    got = legacy_arrow.deserialize(blob)
+    assert got == b"RAWBUFFER"
+
+
 def test_tensor_fallback_probe_warns():
     """A tensor displaced by exactly one alignment unit (a different
     arrow build's padding convention) is still read, with a warning —

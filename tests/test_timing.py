@@ -196,7 +196,7 @@ def test_mixed_precision_training_converges():
     from speech2affective_gestures_tpu.config import ModelConfig
     from speech2affective_gestures_tpu.train import builder
 
-    cfg = ModelConfig(n_layers=2, hidden_size=64, hidden_size_s2eg=64)
+    cfg = ModelConfig(n_layers=2, hidden_size=32, hidden_size_s2eg=32)
     setup = builder.init_training(
         cfg, jax.random.key(0), n_words=30, n_speakers=5,
         with_trimodal=False, mixed_precision=True,
@@ -218,25 +218,25 @@ def test_mixed_precision_training_converges():
 
 @pytest.mark.slow
 def test_canonical_flops_engine_independent():
-    """bench._canonical_flops: a positive analytic count (train/flops.py
-    jaxpr walk of the scan-engine step), unaffected by the caller's engine
-    env (the pallas engine pads gate columns — its program's count is NOT
-    the useful work; round-over-round comparability depends on this)."""
+    """canonical_train_step_flops (the bench MFU numerator): a positive
+    analytic count (train/flops.py jaxpr walk of the scan-engine step),
+    unaffected by the caller's engine env (the pallas engine pads gate
+    columns — its program's count is NOT the useful work; round-over-round
+    comparability depends on this)."""
     import os
-    import sys
 
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    import bench
     from speech2affective_gestures_tpu.config import ModelConfig
+    from speech2affective_gestures_tpu.train.flops import (
+        canonical_train_step_flops,
+    )
 
     cfg = ModelConfig(hidden_size=64, hidden_size_s2eg=64, n_layers=2)
     prev = os.environ.get("S2AG_GRU_ENGINE")
     try:
         os.environ["S2AG_GRU_ENGINE"] = "pallas"  # must be ignored inside
-        f1 = bench._canonical_flops(cfg, 4)
+        f1 = canonical_train_step_flops(cfg, 4)
         os.environ.pop("S2AG_GRU_ENGINE", None)
-        f2 = bench._canonical_flops(cfg, 4)
+        f2 = canonical_train_step_flops(cfg, 4)
     finally:
         if prev is None:
             os.environ.pop("S2AG_GRU_ENGINE", None)
@@ -245,5 +245,5 @@ def test_canonical_flops_engine_independent():
     assert f1 and f1 > 1e6
     assert f1 == f2  # caller env does not leak into the canonical count
     # bigger batch => more flops, roughly linear in the batch-linear parts
-    f8 = bench._canonical_flops(cfg, 8)
+    f8 = canonical_train_step_flops(cfg, 8)
     assert f8 > f1

@@ -13,7 +13,10 @@ from speech2affective_gestures_tpu.train.gan_step import build_pre_seq
 
 pytestmark = pytest.mark.slow  # compile-heavy (see pyproject markers)
 
-CFG = ModelConfig(hidden_size=64, hidden_size_s2eg=64, n_layers=2)
+# canonical tiny test config — width is irrelevant to what these tests pin
+# (step semantics, not numerics-at-width); h32 roughly halves the compile
+# time that dominates this file on a 1-core host
+CFG = ModelConfig(hidden_size=32, hidden_size_s2eg=32, n_layers=2)
 N_WORDS, N_SPK = 40, 12
 
 
