@@ -46,6 +46,37 @@ def reference_tcn():
     return load("net/tcn.py", "_ref_tcn")
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _ephemeral_stubs(*names):
+    """Install empty module stubs in sys.modules ONLY for the duration of a
+    reference-module import (its globals keep their own binding afterwards).
+    A LEAKED stub poisons our library's optional-dependency probes: `import
+    umap`/`import fasttext` succeed on the empty shim and then
+    AttributeError instead of taking the documented ImportError fallback —
+    this bit the umap probe in train/evaluator.py (order-dependent
+    test_round2_inventory failure)."""
+    import types
+
+    added = []
+    for name in names:
+        if name not in sys.modules:
+            stub = types.ModuleType(name)
+            if name == "umap":
+                stub.UMAP = object  # class attribute referenced at import
+            sys.modules[name] = stub
+            added.append(name)
+    if "librosa.feature" in names:
+        sys.modules["librosa"].feature = sys.modules["librosa.feature"]
+    try:
+        yield
+    finally:
+        for name in added:
+            sys.modules.pop(name, None)
+
+
 def reference_v2_nets():
     """Import the reference's full v2 model file.
 
@@ -53,14 +84,8 @@ def reference_v2_nets():
     path) and hard-codes `.cuda()` in AffEncoder init — stub the former,
     no-op the latter, and expose the package-style module names it expects.
     """
-    import types
-
     import torch
 
-    for name in ("librosa", "librosa.feature", "fasttext"):
-        if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
-    sys.modules["librosa"].feature = sys.modules["librosa.feature"]
     torch.Tensor.cuda = lambda self, *a, **k: self
 
     if str(REFERENCE_ROOT) not in sys.path:
@@ -68,7 +93,8 @@ def reference_v2_nets():
     try:
         import importlib
 
-        return importlib.import_module("net.multimodal_context_net_v2")
+        with _ephemeral_stubs("librosa", "librosa.feature", "fasttext"):
+            return importlib.import_module("net.multimodal_context_net_v2")
     except Exception:
         return None
 
@@ -82,19 +108,14 @@ def reference_fgd_evaluator():
     used by get_features_for_viz, also stubbed). The scoring methods
     (get_scores / calculate_frechet_distance, lines 74-156) touch only
     numpy + scipy.linalg, both installed."""
-    import types
-
-    if reference_v2_nets() is None:  # installs librosa/fasttext shims
+    if reference_v2_nets() is None:  # cuda no-op + sys.path setup
         return None
-    if "umap" not in sys.modules:
-        umap_stub = types.ModuleType("umap")
-        umap_stub.UMAP = object
-        sys.modules["umap"] = umap_stub
-
     try:
         import importlib
 
-        return importlib.import_module("net.embedding_space_evaluator")
+        with _ephemeral_stubs("librosa", "librosa.feature", "fasttext",
+                              "umap"):
+            return importlib.import_module("net.embedding_space_evaluator")
     except Exception:
         return None
 
