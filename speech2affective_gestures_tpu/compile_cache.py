@@ -22,9 +22,11 @@ import os
 
 DEFAULT_DIR = os.path.expanduser("~/.cache/s2ag_xla_cache")
 
-# a warmed cache shipped inside the repo checkout (tools/warm_compile_cache.py
-# creates it): lets a FRESH container skip the multi-minute cold compiles of
-# the flagship programs, e.g. the driver's bench run. Only used when present.
+# a warmed cache inside the repo checkout (tools/warm_compile_cache.py
+# creates it; NOT shipped — on tunneled devices big-entry cache reads move
+# at the tunnel's <1 MiB/s bulk rate and cost as much as compiling, see the
+# tool's docstring). Auto-preferred when a checkout has one, e.g. a CI or
+# serving fleet on real TPU hosts that warms it once per image.
 REPO_WARM_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".xla_warm_cache",

@@ -1,17 +1,21 @@
-"""Warm the repo-local persistent XLA cache with the flagship programs.
+"""Warm a repo-local persistent XLA cache with the flagship programs.
 
 Cold compiles of the full-size GAN train step take minutes on this host
-class (measured: ~150 s for the bs128 f32 step over the axon tunnel, plus
-~165 s of eager-init dispatch before the CPU-init fix). A fresh container
-(the driver's bench run, a new user's first epoch) pays all of it. This
-tool compiles the programs `bench.py` and `__graft_entry__.entry()` need
-into `<repo>/.xla_warm_cache`; committing that directory ships the warm
-start (compile_cache.enable() auto-prefers it when present, env override
-still wins).
-
+class (measured: 110-1143 s for the bs128 f32 step over the axon tunnel,
+variance is tunnel/host load). This tool compiles the programs `bench.py`
+and `__graft_entry__.entry()` need into `<repo>/.xla_warm_cache`, which
+compile_cache.enable() auto-prefers when present (env override wins).
 Entries are keyed by HLO + jax/jaxlib version + device; a mismatched
-environment simply misses and compiles cold — shipping the cache can never
+environment simply misses and compiles cold — a stale cache can never
 break anything.
+
+MEASURED NEGATIVE RESULT on the axon tunnel (round 5): loading a cached
+37 MB train-step executable cost ~460 s — the serialized executable moves
+at the tunnel's <1 MiB/s bulk rate, i.e. cache READS of big entries are as
+slow as compiling. Shipping a warmed cache inside the checkout therefore
+does NOT pay on tunneled devices and the repo does not commit one; on real
+(non-tunneled) TPU hosts, where cache loads are local-disk reads, this
+tool gives CI/serving fleets a genuine warm start.
 
 Usage:
     python tools/warm_compile_cache.py [--stages headline,entry,bf16]
